@@ -1,0 +1,228 @@
+"""KV-cache state as explicit, static-shape pytrees.
+
+TPU-native re-design of the reference's mutable cache classes
+(``/root/reference/models/cache.py``). Instead of host-side ``seq_len``
+mutation / slicing, every cache is a frozen pytree carried through jitted
+programs; "rollback" is a scalar subtraction (attention is masked by length,
+never re-sliced), and window compaction / tail refresh are pure gathers with
+static output shapes, so a whole speculation round compiles to ONE XLA
+executable (the CUDA-graph analogue, reference utils/graph_infer.py:74-127).
+
+Layouts are head-major ``[num_layers, batch, num_kv_heads, slots, head_dim]``
+so the ``num_kv_heads`` axis shards naturally over the mesh's ``tp`` axis
+(the reference shards the same axis: cache.py:278).
+
+Cache zoo mapping (reference -> here):
+  FlashSimpleCache / DistributedSimpleCache  -> KVCache
+  RetrievalCache / DistributedRetrievalCache -> RetrievalCache
+  StreamingLLMEvictionCache                  -> StreamingCache
+  DistributedRetrievalCache_Seqouia          -> TreeRetrievalCache (tree.py)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .config import ModelConfig, SpecConfig
+
+
+@struct.dataclass
+class KVCache:
+    """Full (target) KV cache. reference: models/cache.py:20-61.
+
+    ``seq_len`` is a traced i32 scalar: appends advance it, speculative
+    rollback subtracts from it (reference mutates it from the host,
+    utils/decoding.py:124); keys are stored rotated.
+    """
+
+    k: jax.Array        # [L, B, H_kv, S_max, D]
+    v: jax.Array        # [L, B, H_kv, S_max, D]
+    seq_len: jax.Array  # i32 scalar
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    def rollback(self, n: jax.Array) -> "KVCache":
+        return self.replace(seq_len=self.seq_len - n)
+
+
+@struct.dataclass
+class RetrievalCache:
+    """Middle-model sparse cache: ``budget`` selected slots + ``gamma + 1``
+    speculation scratch slots. reference: models/cache.py:117-198.
+
+    Slots hold rotated K (positions baked in), so slot order is irrelevant to
+    attention; the tail-refresh therefore writes newly generated tokens at
+    descending slots from ``budget - 1`` instead of re-shifting the whole
+    recent block every step like the reference (cache.py:180-182) — same KV
+    set, O(gamma) writes instead of O(seq_len - prefill) copies.
+    """
+
+    k: jax.Array  # [L, B, H_kv, budget + gamma + 1, D]
+    v: jax.Array
+
+    @property
+    def real_budget(self) -> int:
+        return self.k.shape[3]
+
+
+@struct.dataclass
+class StreamingCache:
+    """Drafter StreamingLLM cache: ``start`` sink slots + ``recent`` window +
+    ``gamma + 3`` fixed speculation slots; keys stored UN-rotated and
+    re-rotated with slot-index positions every forward.
+    reference: models/cache.py:200-265 + models/modeling_llama_68m.py:151-178.
+    """
+
+    k: jax.Array        # [L, B, H_kv, start + recent + gamma + 3, D]
+    v: jax.Array
+    seq_len: jax.Array  # i32 scalar — prefill fill level (<= start + recent)
+
+    @property
+    def real_budget(self) -> int:
+        return self.k.shape[3]
+
+
+# ---------------------------------------------------------------------------
+# Constructors
+# ---------------------------------------------------------------------------
+
+def init_kv(cfg: ModelConfig, max_len: int, batch: int = 1,
+            dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   seq_len=jnp.zeros((), jnp.int32))
+
+
+def init_retrieval(cfg: ModelConfig, spec: SpecConfig, batch: int = 1,
+                   dtype=jnp.bfloat16) -> RetrievalCache:
+    real = spec.budget + spec.gamma + 1  # reference: cache.py:129
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, real, cfg.head_dim)
+    return RetrievalCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def init_streaming(cfg: ModelConfig, spec: SpecConfig, batch: int = 1,
+                   dtype=jnp.bfloat16) -> StreamingCache:
+    # reference: cache.py:207  real = start + recent + gamma + 3
+    real = spec.draft_start_size + spec.draft_recent_size + spec.gamma + 3
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, real, cfg.head_dim)
+    return StreamingCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                          seq_len=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# In-forward update helpers (operate on one layer's [B, H, S, D] slab)
+# ---------------------------------------------------------------------------
+
+def append_layer(cache_k: jax.Array, cache_v: jax.Array, layer: jax.Array,
+                 new_k: jax.Array, new_v: jax.Array,
+                 start: jax.Array):
+    """Write ``new_k/new_v`` ([B, H, T, D]) into layer ``layer`` at slot
+    ``start``. Returns updated full-stack arrays.
+    reference: cache.py:46-61 (FlashSimpleCache.update).
+    """
+    zero = jnp.zeros((), jnp.int32)
+    idx = (layer.astype(jnp.int32), zero, zero, start.astype(jnp.int32), zero)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, new_k[None], idx)
+    cache_v = jax.lax.dynamic_update_slice(cache_v, new_v[None], idx)
+    return cache_k, cache_v
+
+
+def read_layer(cache_k: jax.Array, cache_v: jax.Array, layer: jax.Array):
+    """Slice out one layer's [B, H, S, D] K/V slab at a traced layer index."""
+    l = layer.astype(jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    shape = (1,) + cache_k.shape[1:]
+    k = jax.lax.dynamic_slice(cache_k, (l, zero, zero, zero, zero), shape)[0]
+    v = jax.lax.dynamic_slice(cache_v, (l, zero, zero, zero, zero), shape)[0]
+    return k, v
+
+
+# ---------------------------------------------------------------------------
+# Host-level (but jittable) cache choreography
+# ---------------------------------------------------------------------------
+
+def streaming_evict_prefill(cache: StreamingCache, spec: SpecConfig,
+                            incoming: int) -> StreamingCache:
+    """Slide the drafter window before a prefill chunk lands, iff it would
+    overflow ``start + recent``. reference: cache.py:252-261.
+
+    Keeps the last ``recent - incoming`` tokens right after the sink and sets
+    ``seq_len = start + recent - incoming``. Pure gather with static shapes.
+    """
+    start, recent = spec.draft_start_size, spec.draft_recent_size
+    cap = start + recent
+    size_keep = recent - incoming
+
+    def do_evict(c: StreamingCache) -> StreamingCache:
+        src0 = c.seq_len - size_keep
+        kept_k = jax.lax.dynamic_slice_in_dim(c.k, src0, size_keep, axis=3)
+        kept_v = jax.lax.dynamic_slice_in_dim(c.v, src0, size_keep, axis=3)
+        k = jax.lax.dynamic_update_slice_in_dim(c.k, kept_k, start, axis=3)
+        v = jax.lax.dynamic_update_slice_in_dim(c.v, kept_v, start, axis=3)
+        return c.replace(k=k, v=v, seq_len=jnp.asarray(cap - incoming,
+                                                       jnp.int32))
+
+    return jax.lax.cond(c_overflows(cache.seq_len, incoming, cap),
+                        do_evict, lambda c: c, cache)
+
+
+def c_overflows(seq_len: jax.Array, incoming: int, cap: int) -> jax.Array:
+    return seq_len + incoming > cap
+
+
+def streaming_evict_for_spec(cache: StreamingCache, spec: SpecConfig,
+                             count: jax.Array) -> StreamingCache:
+    """Compact accepted speculative tokens back into the recent window after
+    an outer TriForce step. reference: cache.py:263-265.
+
+    ``current_seq_len = start + recent + count``; the window becomes the last
+    ``recent`` slots before it (this pulls ``count`` spec-slot entries in and
+    shifts the old window left by ``count``).
+    """
+    start, recent = spec.draft_start_size, spec.draft_recent_size
+    src0 = start + count.astype(jnp.int32)  # (start+recent+count) - recent
+    win_k = jax.lax.dynamic_slice_in_dim(cache.k, src0, recent, axis=3)
+    win_v = jax.lax.dynamic_slice_in_dim(cache.v, src0, recent, axis=3)
+    k = jax.lax.dynamic_update_slice_in_dim(cache.k, win_k, start, axis=3)
+    v = jax.lax.dynamic_update_slice_in_dim(cache.v, win_v, start, axis=3)
+    return cache.replace(k=k, v=v)
+
+
+def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
+                           prefill: int, new_from: jax.Array) -> RetrievalCache:
+    """Write tokens ``[new_from, kv.seq_len)`` of the full cache into the
+    retrieval budget region at descending slots from
+    ``budget - 1 - (new_from - prefill)``.
+
+    Equivalent KV set to the reference's whole-block re-shift
+    (cache.py:180-182): after g generated tokens, budget slots
+    ``[budget - g, budget)`` hold exactly tokens ``[prefill, prefill + g)``
+    (here in reverse slot order — attention over rotated keys is
+    permutation-invariant, so the distribution is identical while we copy
+    O(gamma) slots per step instead of O(g)).
+    """
+    max_new = spec.gamma + 2  # per outer step: <= gamma2 + 1 <= gamma + 2
+    budget = spec.budget
+    n_new = kv.seq_len - new_from  # 0 <= n_new <= max_new
+    new_from = new_from.astype(jnp.int32)
+
+    def body(j, rk_rv):
+        rk, rv = rk_rv
+        tok_k = jax.lax.dynamic_slice_in_dim(kv.k, new_from + j, 1, axis=3)
+        tok_v = jax.lax.dynamic_slice_in_dim(kv.v, new_from + j, 1, axis=3)
+        slot = budget - 1 - (new_from - prefill) - j
+
+        def write(args):
+            rk, rv = args
+            rk = jax.lax.dynamic_update_slice_in_dim(rk, tok_k, slot, axis=3)
+            rv = jax.lax.dynamic_update_slice_in_dim(rv, tok_v, slot, axis=3)
+            return rk, rv
+
+        return jax.lax.cond(j < n_new, write, lambda a: a, (rk, rv))
+
+    k, v = jax.lax.fori_loop(0, max_new, body, (rkv.k, rkv.v))
+    return rkv.replace(k=k, v=v)

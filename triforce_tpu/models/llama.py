@@ -1,0 +1,303 @@
+"""Functional Llama forward passes over explicit cache pytrees.
+
+One tower replaces BOTH reference towers (the nn.Module on-chip tower
+``models/modeling_llama.py`` / ``models/modeling_llama_68m.py`` and the
+functional TP tower ``models/TP_llama.py`` / ``models/tensor_op.py``): params
+are a pytree of stacked per-layer arrays, the layer loop is a ``lax.scan``
+(one compiled body for all layers), and the same code runs single-chip or
+sharded — GSPMD inserts the collectives the reference issues by hand
+(``tensor_op.py:179,359``).
+
+Forward modes (all static-shape, all jittable):
+  forward_append      — prefill chunks / AR decode / full-cache target verify
+                        (reference ``model_run``, graph_infer.py:29-40),
+                        optionally building the retrieval cache on a 1-token
+                        forward (reference modeling_llama.py:232-238)
+  forward_spec        — middle-model verify over the retrieval cache
+                        (reference ``model_verify``, spec=True path)
+  draft_forward       — drafter prefill into the StreamingLLM cache
+  draft_forward_spec  — drafter speculation at a gamma offset with un-rotated
+                        key storage + whole-window re-rotation
+                        (reference modeling_llama_68m.py:151-178)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, SpecConfig
+from ..cache import (KVCache, RetrievalCache, StreamingCache, append_layer,
+                     read_layer)
+from ..ops.attention import blockwise_attention, causal_from, budget_causal
+from ..ops import retrieval as retrieval_ops
+from . import rope
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Random-init params pytree with stacked [L, ...] per-layer weights."""
+    k = jax.random.split(key, 12)
+    h, i, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    hq = cfg.num_heads * cfg.head_dim
+    hkv = cfg.num_kv_heads * cfg.head_dim
+    s = 0.02
+
+    def rnd(kk, shape, scale=s):
+        return (jax.random.normal(kk, shape, jnp.float32) * scale).astype(dtype)
+
+    params = {
+        "embed": rnd(k[0], (cfg.vocab_size, h)),
+        "layers": {
+            "wq": rnd(k[1], (L, h, hq)),
+            "wk": rnd(k[2], (L, h, hkv)),
+            "wv": rnd(k[3], (L, h, hkv)),
+            "wo": rnd(k[4], (L, hq, h)),
+            "w_gate": rnd(k[5], (L, h, i)),
+            "w_up": rnd(k[6], (L, h, i)),
+            "w_down": rnd(k[7], (L, i, h)),
+            "ln_attn": jnp.ones((L, h), dtype),
+            "ln_mlp": jnp.ones((L, h), dtype),
+        },
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": rnd(k[8], (h, cfg.vocab_size)),
+    }
+    if cfg.tie_word_embeddings:
+        params["lm_head"] = params["embed"].T
+    return params
+
+
+def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    # fp32 internals, like the reference (modeling_llama.py:138-143)
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (w * (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype))
+
+
+def _mlp(x, lp):
+    gate = jnp.einsum("bth,hi->bti", x, lp["w_gate"])
+    up = jnp.einsum("bth,hi->bti", x, lp["w_up"])
+    return jnp.einsum("bti,ih->bth", jax.nn.silu(gate) * up, lp["w_down"])
+
+
+def _qkv(x, lp, cfg: ModelConfig):
+    b, t, _ = x.shape
+    q = jnp.einsum("bth,hd->btd", x, lp["wq"]).reshape(
+        b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = jnp.einsum("bth,hd->btd", x, lp["wk"]).reshape(
+        b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = jnp.einsum("bth,hd->btd", x, lp["wv"]).reshape(
+        b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    return q, k, v  # [B, H, T, D]
+
+
+def _attn_out(ctx, lp):
+    b, hq, t, d = ctx.shape
+    flat = ctx.transpose(0, 2, 1, 3).reshape(b, t, hq * d)
+    return jnp.einsum("btd,dh->bth", flat, lp["wo"])
+
+
+def _logits(cfg: ModelConfig, params, x) -> jnp.ndarray:
+    x = _rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    # fp32 logits, reference modeling_llama.py:408-409
+    return jnp.einsum("bth,hv->btv", x.astype(jnp.float32),
+                      params["lm_head"].astype(jnp.float32))
+
+
+def _take_layer(layers, l):
+    return jax.tree_util.tree_map(lambda a: a[l], layers)
+
+
+# ---------------------------------------------------------------------------
+# Target-model forwards
+# ---------------------------------------------------------------------------
+
+def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
+                   kv: KVCache, *,
+                   positions: Optional[jnp.ndarray] = None,
+                   build_rkv: Optional[RetrievalCache] = None,
+                   prefill: int = 0, chunk_size: int = 8, budget: int = 0,
+                   ) -> Tuple[jnp.ndarray, KVCache, Optional[RetrievalCache]]:
+    """Append ``T`` tokens to the full cache and attend causally over it.
+
+    When ``build_rkv`` is given (T must be 1), also constructs every layer's
+    retrieval budget region from this token's query — fused into the same
+    forward exactly like the reference's in-attention hook
+    (modeling_llama.py:232-238). ``prefill``/``chunk_size``/``budget`` static.
+    """
+    b, t = input_ids.shape
+    building = build_rkv is not None
+    if building:
+        assert t == 1, "retrieval build requires a 1-token forward"
+
+    cos, sin = rope.cos_sin_tables(cfg)
+    if positions is None:
+        positions = kv.seq_len + jnp.arange(t)  # modeling_llama.py:345-349
+    seq_len0 = kv.seq_len
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    s_max = kv.max_len
+    slot_pos = jnp.arange(s_max)
+
+    def body(carry, lp):
+        x, ck, cv, rk, rv, l = carry
+        h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q, k_new, v_new = _qkv(h, lp, cfg)
+        q = rope.apply_rope(q, cos, sin, positions)
+        if not cfg.rope_on_slots:
+            # store rotated keys (modeling_llama.py:221-230)
+            k_new = rope.apply_rope(k_new, cos, sin, positions)
+        ck, cv = append_layer(ck, cv, l, k_new, v_new, seq_len0)
+        k_all, v_all = read_layer(ck, cv, l)
+        if cfg.rope_on_slots:
+            k_all = rope.apply_rope(k_all, cos, sin, slot_pos)
+        ctx = blockwise_attention(q, k_all, v_all, causal_from(seq_len0))
+        x = x + _attn_out(ctx, lp)
+
+        if building:
+            k_sel, v_sel = retrieval_ops.build_layer(
+                q, k_all, v_all, prefill, chunk_size, budget)
+            zero = jnp.zeros((), jnp.int32)
+            idx = (l, zero, zero, zero, zero)
+            rk = jax.lax.dynamic_update_slice(rk, k_sel[None], idx)
+            rv = jax.lax.dynamic_update_slice(rv, v_sel[None], idx)
+
+        h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        x = x + _mlp(h, lp)
+        return (x, ck, cv, rk, rv, l + 1), None
+
+    rk0 = build_rkv.k if building else jnp.zeros((0,), jnp.bfloat16)
+    rv0 = build_rkv.v if building else jnp.zeros((0,), jnp.bfloat16)
+    init = (x, kv.k, kv.v, rk0, rv0, jnp.zeros((), jnp.int32))
+    (x, ck, cv, rk, rv, _), _ = jax.lax.scan(body, init, params["layers"])
+
+    logits = _logits(cfg, params, x)
+    kv_out = kv.replace(k=ck, v=cv, seq_len=kv.seq_len + t)
+    rkv_out = build_rkv.replace(k=rk, v=rv) if building else None
+    return logits, kv_out, rkv_out
+
+
+def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
+                 rkv: RetrievalCache, kv_seq_len: jnp.ndarray,
+                 budget: int) -> Tuple[jnp.ndarray, RetrievalCache]:
+    """Middle-model verify: write the gamma+1 tokens' KV into the retrieval
+    scratch slots and attend over budget + scratch.
+    reference: model_verify (graph_infer.py:61-67) -> spec=True attention
+    (modeling_llama.py:226-227) + RetrievalCache.update (cache.py:184-189).
+    Positions are absolute: ``kv_seq_len + arange(gamma + 1)``
+    (decoding.py:180).
+    """
+    b, t = input_ids.shape
+    cos, sin = rope.cos_sin_tables(cfg)
+    positions = kv_seq_len + jnp.arange(t)
+    scratch0 = jnp.asarray(budget, jnp.int32)  # real_budget - (gamma+1)
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+
+    def body(carry, lp):
+        x, rk, rv, l = carry
+        h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q, k_new, v_new = _qkv(h, lp, cfg)
+        q = rope.apply_rope(q, cos, sin, positions)
+        k_new = rope.apply_rope(k_new, cos, sin, positions)
+        rk, rv = append_layer(rk, rv, l, k_new, v_new, scratch0)
+        k_all, v_all = read_layer(rk, rv, l)
+        ctx = blockwise_attention(q, k_all, v_all, budget_causal(budget))
+        x = x + _attn_out(ctx, lp)
+        h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        x = x + _mlp(h, lp)
+        return (x, rk, rv, l + 1), None
+
+    init = (x, rkv.k, rkv.v, jnp.zeros((), jnp.int32))
+    (x, rk, rv, _), _ = jax.lax.scan(body, init, params["layers"])
+    return _logits(cfg, params, x), rkv.replace(k=rk, v=rv)
+
+
+# ---------------------------------------------------------------------------
+# Drafter forwards (StreamingLLM semantics)
+# ---------------------------------------------------------------------------
+
+def draft_forward(cfg: ModelConfig, params, input_ids: jnp.ndarray,
+                  dkv: StreamingCache) -> Tuple[jnp.ndarray, StreamingCache]:
+    """Drafter prefill chunk: append at ``seq_len`` with slot positions.
+
+    Keys stored un-rotated; the whole visible window is re-rotated with slot
+    indices as positions each forward (modeling_llama_68m.py:164-178).
+    Caller must run ``streaming_evict_prefill`` first (graph_infer.py:47).
+    """
+    assert cfg.rope_on_slots
+    b, t = input_ids.shape
+    cos, sin = rope.cos_sin_tables(cfg, max_len=dkv.real_budget)
+    positions = dkv.seq_len + jnp.arange(t)
+    seq_len0 = dkv.seq_len
+    slot_pos = jnp.arange(dkv.real_budget)
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+
+    def body(carry, lp):
+        x, ck, cv, l = carry
+        h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q, k_new, v_new = _qkv(h, lp, cfg)
+        q = rope.apply_rope(q, cos, sin, positions)
+        ck, cv = append_layer(ck, cv, l, k_new, v_new, seq_len0)
+        k_all, v_all = read_layer(ck, cv, l)
+        k_all = rope.apply_rope(k_all, cos, sin, slot_pos)
+        ctx = blockwise_attention(q, k_all, v_all, causal_from(seq_len0))
+        x = x + _attn_out(ctx, lp)
+        h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        x = x + _mlp(h, lp)
+        return (x, ck, cv, l + 1), None
+
+    init = (x, dkv.k, dkv.v, jnp.zeros((), jnp.int32))
+    (x, ck, cv, _), _ = jax.lax.scan(body, init, params["layers"])
+    return _logits(cfg, params, x), dkv.replace(
+        k=ck, v=cv, seq_len=dkv.seq_len + t)
+
+
+def draft_forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
+                       dkv: StreamingCache, spec: SpecConfig,
+                       ) -> Tuple[jnp.ndarray, StreamingCache]:
+    """Drafter speculation step: T tokens written at the FIXED spec slots
+    ``start + recent + i`` with query positions equal to those slot indices
+    and keys re-rotated over the whole window.
+    reference: modeling_llama_68m.py:151-162 + cache.py:237-245.
+
+    The reference runs this at q_len = gamma_offset + 1 with one CUDA graph
+    per offset (graph_infer.py:143-152); here T is fixed (= gamma + 1 in the
+    inner loop, gamma + 3 for the replay) and causal masking makes the junk
+    suffix inert — ONE compiled program replaces gamma + 3 graphs.
+    """
+    assert cfg.rope_on_slots
+    b, t = input_ids.shape
+    start, recent = spec.draft_start_size, spec.draft_recent_size
+    spec0 = start + recent  # == real_budget - gamma - 3, cache.py:239
+    cos, sin = rope.cos_sin_tables(cfg, max_len=dkv.real_budget)
+    positions = spec0 + jnp.arange(t)
+    slot_pos = jnp.arange(dkv.real_budget)
+    spec0_arr = jnp.asarray(spec0, jnp.int32)
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+
+    def body(carry, lp):
+        x, ck, cv, l = carry
+        h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q, k_new, v_new = _qkv(h, lp, cfg)
+        q = rope.apply_rope(q, cos, sin, positions)
+        ck, cv = append_layer(ck, cv, l, k_new, v_new, spec0_arr)
+        k_all, v_all = read_layer(ck, cv, l)
+        k_all = rope.apply_rope(k_all, cos, sin, slot_pos)
+        ctx = blockwise_attention(q, k_all, v_all,
+                                  causal_from(jnp.asarray(spec0, jnp.int32)))
+        x = x + _attn_out(ctx, lp)
+        h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        x = x + _mlp(h, lp)
+        return (x, ck, cv, l + 1), None
+
+    init = (x, dkv.k, dkv.v, jnp.zeros((), jnp.int32))
+    (x, ck, cv, _), _ = jax.lax.scan(body, init, params["layers"])
+    return _logits(cfg, params, x), dkv.replace(k=ck, v=cv)

@@ -1,0 +1,81 @@
+"""Retrieval-cache construction: chunk-mean key scoring -> top-k chunk
+selection -> per-KV-head gather into the budget region.
+
+TPU-native re-design of the reference's eager build
+(``/root/reference/models/cache.py:146-178``): one fused jittable function per
+layer, called from inside the target forward on the last prefill token (the
+reference hooks the same place: models/modeling_llama.py:232-238). A Pallas
+fused kernel for the 128K case lives in ``ops/flash_decode.py`` territory
+(round >=2); XLA already turns this into mean -> matmul -> top-k -> gather
+with no host round-trips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def select_chunks(q: jnp.ndarray, k_prefill: jnp.ndarray,
+                  chunk_size: int, select_sets: int) -> jnp.ndarray:
+    """Score chunks by q . chunk_mean(k) and pick ``select_sets`` of them,
+    always keeping chunk 0 (attention sink) first.
+
+    q:          [B, Hq, 1, D]   (the last prefill token's rotated query)
+    k_prefill:  [B, Hkv, P, D]  (rotated prefill keys; P % chunk_size == 0)
+    returns:    [B, Hkv, select_sets] int32 chunk indices.
+
+    reference: cache.py:154-162. With GQA (Hq > Hkv) scores are averaged over
+    each KV head's query group (the reference only runs MHA models where
+    Hq == Hkv, so this is an extension, not a deviation).
+    """
+    b, hkv, p, d = k_prefill.shape
+    hq = q.shape[1]
+    g = hq // hkv
+    chunks = p // chunk_size
+
+    chunk_k = k_prefill.reshape(b, hkv, chunks, chunk_size, d).mean(
+        axis=3, dtype=jnp.float32)                       # [B,Hkv,C,D]
+    qg = q.reshape(b, hkv, g, d).astype(jnp.float32)     # [B,Hkv,G,D]
+    scores = jnp.einsum("bhgd,bhcd->bhgc", qg, chunk_k).mean(axis=2)
+
+    # top-k over chunks 1.. (chunk 0 pinned; reference: cache.py:159-162)
+    _, top_rest = jax.lax.top_k(scores[:, :, 1:], select_sets - 1)
+    top_rest = top_rest + 1
+    first = jnp.zeros((b, hkv, 1), dtype=top_rest.dtype)
+    return jnp.concatenate([first, top_rest], axis=-1)
+
+
+def gather_chunks(cache_layer: jnp.ndarray, chunk_idx: jnp.ndarray,
+                  chunk_size: int) -> jnp.ndarray:
+    """Gather selected chunks per KV head.
+
+    cache_layer: [B, Hkv, P, D]; chunk_idx: [B, Hkv, S_sets] ->
+    [B, Hkv, S_sets * chunk_size, D]. reference: cache.py:163-175.
+    """
+    b, hkv, p, d = cache_layer.shape
+    chunks = p // chunk_size
+    s_sets = chunk_idx.shape[-1]
+    as_chunks = cache_layer.reshape(b, hkv, chunks, chunk_size, d)
+    idx = chunk_idx[..., None, None]  # [B,Hkv,S,1,1]
+    picked = jnp.take_along_axis(
+        as_chunks, jnp.broadcast_to(idx, (b, hkv, s_sets, chunk_size, d)),
+        axis=2)
+    return picked.reshape(b, hkv, s_sets * chunk_size, d)
+
+
+def build_layer(q: jnp.ndarray, k_layer: jnp.ndarray, v_layer: jnp.ndarray,
+                prefill: int, chunk_size: int, budget: int):
+    """Build one layer's retrieval budget region.
+
+    q [B,Hq,1,D]; k_layer/v_layer [B,Hkv,S_max,D] (full cache slabs).
+    Returns (k_sel, v_sel) [B, Hkv, budget, D] to be written at retrieval
+    slots [0, budget). ``prefill`` is static.
+    """
+    select_sets = budget // chunk_size
+    k_prefill = k_layer[:, :, :prefill]
+    v_prefill = v_layer[:, :, :prefill]
+    idx = select_chunks(q, k_prefill, chunk_size, select_sets)
+    k_sel = gather_chunks(k_prefill, idx, chunk_size)
+    v_sel = gather_chunks(v_prefill, idx, chunk_size)
+    return k_sel, v_sel

@@ -1,0 +1,98 @@
+"""Jittable sampling ops: temperature / top-k / top-p filtering, categorical
+sampling with explicit PRNG keys, and the residual distribution for exact
+rejection-sampling speculation.
+
+TPU-native replacement for the reference's eager torch ops
+(``/root/reference/utils/sampling.py``): every op is shape-static and key
+threaded, so sampling is bitwise deterministic and replicated across hosts —
+this is what removes the reference's per-token rank-0 broadcast + barrier
+(``utils/decoding.py:230-239``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = jnp.float32(-1e30)
+
+
+def top_k_filter(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """Mask everything below the k-th largest logit. ``top_k`` is static.
+
+    reference: utils/sampling.py:16-18.
+    """
+    if top_k <= 0:
+        return logits
+    k = min(top_k, logits.shape[-1])
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, _NEG_INF, logits)
+
+
+def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filter, exactly mirroring the reference's semantics
+    (utils/sampling.py:19-26): sort descending, keep the smallest prefix whose
+    cumulative softmax mass exceeds ``top_p`` (first element always kept),
+    mask the rest to -inf.
+    """
+    if top_p <= 0.0 or top_p >= 1.0:
+        return logits
+    sort_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    drop_sorted = cum > top_p
+    # shift right: a token is dropped only if the mass *before* it already
+    # exceeds top_p (reference: filter[...,1:]=filter[...,:-1]; filter[...,0]=0)
+    drop_sorted = jnp.concatenate(
+        [jnp.zeros_like(drop_sorted[..., :1]), drop_sorted[..., :-1]], axis=-1)
+    inv = jnp.argsort(sort_idx, axis=-1)
+    drop = jnp.take_along_axis(drop_sorted, inv, axis=-1)
+    return jnp.where(drop, _NEG_INF, logits)
+
+
+def norm_logits(logits: jnp.ndarray, temperature: float = 0.6,
+                top_k: int = -1, top_p: float = 0.9) -> jnp.ndarray:
+    """logits [..., V] (fp32) -> filtered probability simplex [..., V].
+
+    reference: utils/sampling.py:43-60.
+    """
+    logits = logits.astype(jnp.float32) / temperature
+    logits = top_k_filter(logits, top_k)
+    logits = top_p_filter(logits, top_p)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def sample(key: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
+    """Draw one token index from a probability vector [..., V].
+
+    reference: utils/sampling.py:63-65 (torch.multinomial); here a Gumbel-max
+    categorical with an explicit key — deterministic and replicated.
+    """
+    logp = jnp.log(jnp.maximum(probs, 1e-37))
+    logp = jnp.where(probs > 0, logp, _NEG_INF)
+    return jax.random.categorical(key, logp, axis=-1)
+
+
+def max_fn(x: jnp.ndarray) -> jnp.ndarray:
+    """Normalised positive residual ``norm(max(x, 0))`` used to resample on
+    speculative rejection. reference: utils/sampling.py:68-76.
+    """
+    pos = jnp.maximum(x, 0.0)
+    denom = jnp.sum(pos, axis=-1, keepdims=True)
+    # guard the (theoretically impossible at fp32) all-rejected corner
+    denom = jnp.where(denom <= 0, 1.0, denom)
+    return pos / denom
+
+
+def gumbel_topk_without_replacement(key: jax.Array, probs: jnp.ndarray,
+                                    k: int) -> jnp.ndarray:
+    """Sample ``k`` distinct indices ~ probs without replacement.
+
+    reference (tree child sampling): test/offloading_seqouia.py:29-39 uses
+    ``(rand.log() / q).topk(k)``; the Gumbel-top-k trick is the standard
+    equivalent: argtop-k of log p + Gumbel noise.
+    """
+    g = jax.random.gumbel(key, probs.shape, dtype=jnp.float32)
+    logp = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-37)), _NEG_INF)
+    return jax.lax.top_k(logp + g, k)[1]
