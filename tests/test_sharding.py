@@ -1,0 +1,87 @@
+"""Tensor-parallel sharding over a virtual 8-device mesh (SURVEY.md §4):
+GSPMD must reproduce the single-device math — this replaces the reference's
+hand-written NCCL tower (models/TP_llama.py, models/tensor_op.py), which it
+can only test on real multi-GPU rigs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from triforce_tpu import config as cfg_mod
+from triforce_tpu.config import SpecConfig, RopeConfig, ModelConfig
+from triforce_tpu.cache import init_kv
+from triforce_tpu.engine import Engine
+from triforce_tpu.models import llama
+from triforce_tpu.parallel import mesh as mesh_mod
+from triforce_tpu.parallel import sharding as shard_mod
+
+# 8 KV heads so tp=8 shards them exactly like the reference's
+# num_kv_heads // world_size split (cache.py:278)
+TP8_CFG = ModelConfig(
+    vocab_size=199, hidden_size=64, intermediate_size=128, num_layers=2,
+    num_heads=8, num_kv_heads=8, head_dim=8, max_position_embeddings=4096,
+    rms_norm_eps=1e-5, rope=RopeConfig(kind="llama"))
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def test_tp_forward_matches_single_device():
+    params = llama.init_params(jax.random.PRNGKey(0), TP8_CFG,
+                               dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0,
+                             TP8_CFG.vocab_size)
+    kv = init_kv(TP8_CFG, max_len=32, dtype=jnp.float32)
+    ref_logits, ref_kv, _ = llama.forward_append(TP8_CFG, params, ids, kv)
+
+    m = mesh_mod.make_mesh(tp=8)
+    sparams = shard_mod.shard_params(params, m, TP8_CFG)
+    from triforce_tpu.cache import KVCache
+    kv_sh = shard_mod.kv_shardings(m, TP8_CFG)
+    kv2 = jax.device_put(
+        init_kv(TP8_CFG, max_len=32, dtype=jnp.float32),
+        KVCache(k=kv_sh, v=kv_sh, seq_len=mesh_mod.named(m)))
+
+    logits, kv_out, _ = jax.jit(
+        lambda p, i, c: llama.forward_append(TP8_CFG, p, i, c)
+    )(sparams, ids, kv2)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(kv_out.k), np.asarray(ref_kv.k),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_tp_triforce_step_runs_sharded():
+    """Whole fused TriForce step under tp=8: state sharded per
+    state_shardings, one step executes and produces sane stats."""
+    spec = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
+                      draft_recent_size=12, temperature=0.8, top_p=0.9)
+    prefill = 32
+    t_params = llama.init_params(jax.random.PRNGKey(0), TP8_CFG,
+                                 dtype=jnp.float32)
+    d_params = llama.init_params(jax.random.PRNGKey(1), cfg_mod.TINY_DRAFT,
+                                 dtype=jnp.float32)
+    m = mesh_mod.make_mesh(tp=8)
+    engine = Engine(TP8_CFG, spec, t_params, draft_cfg=cfg_mod.TINY_DRAFT,
+                    draft_params=d_params, prefill=prefill,
+                    max_cache_len=prefill + 32, dtype=jnp.float32,
+                    prefill_chunk=16, draft_prefill_chunk=8, donate=False)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, prefill), 0,
+                             TP8_CFG.vocab_size)
+
+    engine.t_params = shard_mod.shard_params(t_params, m, TP8_CFG)
+    state = engine.init_state(jax.random.PRNGKey(7))
+    st_sh = shard_mod.state_shardings(m, TP8_CFG, cfg_mod.TINY_DRAFT)
+    state = jax.device_put(state, st_sh)
+    state = engine.prefill_target(state, ids)
+    state = engine.prefill_draft(state, ids)
+    new_state, stats = engine.triforce_step(state)
+
+    assert int(stats.gamma2) in (spec.gamma, spec.gamma + 1)
+    toks = np.asarray(stats.tokens)[:int(stats.n_emitted)]
+    assert ((0 <= toks) & (toks < TP8_CFG.vocab_size)).all()
+    assert int(new_state.kv.seq_len) == int(state.kv.seq_len) + \
+        int(stats.accepted) + 1

@@ -1,0 +1,132 @@
+"""End-to-end TriForce hierarchy tests on tiny models, including the
+losslessness oracle: the marginal distribution of the first emitted token of
+a speculation step must equal the target model's own (top-p filtered)
+conditional — the property the reference only argues by construction
+(SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from triforce_tpu import config as cfg_mod
+from triforce_tpu.config import SpecConfig
+from triforce_tpu.engine import Engine, JUNK_TOKEN
+from triforce_tpu import decoding
+from triforce_tpu.models import llama
+from triforce_tpu.ops import sampling
+
+TCFG = cfg_mod.TINY_TARGET
+DCFG = cfg_mod.TINY_DRAFT
+SPEC = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
+                  draft_recent_size=12, temperature=0.8, top_p=0.9)
+PREFILL = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    d_params = llama.init_params(jax.random.PRNGKey(1), DCFG,
+                                 dtype=jnp.float32)
+    engine = Engine(TCFG, SPEC, t_params, draft_cfg=DCFG,
+                    draft_params=d_params, prefill=PREFILL,
+                    max_cache_len=PREFILL + 64, dtype=jnp.float32,
+                    prefill_chunk=16, draft_prefill_chunk=8, donate=False)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, PREFILL), 0,
+                             TCFG.vocab_size)
+    return engine, ids, t_params
+
+
+def test_triforce_generates(setup):
+    engine, ids, _ = setup
+    res = decoding.triforce(engine, ids, max_len=24, seed=7)
+    assert res.steps >= 1
+    assert len(res.tokens) >= 24
+    assert all(0 <= t < TCFG.vocab_size for t in res.tokens)
+    assert 0.0 <= res.acceptance_rate <= 1.0
+    # every step proposes gamma or gamma+1 middle tokens
+    assert res.avg_tokens_per_step >= 1.0
+
+
+def test_retrieval_spec_generates(setup):
+    engine, ids, _ = setup
+    res = decoding.retrieval_spec(engine, ids, max_len=16, seed=3)
+    assert len(res.tokens) >= 16
+    assert all(0 <= t < TCFG.vocab_size for t in res.tokens)
+
+
+def test_autoregressive_baseline(setup):
+    engine, ids, _ = setup
+    res = decoding.autoregressive(engine, ids, max_len=8, seed=5)
+    assert res.steps == 8
+
+
+def test_deterministic_given_key(setup):
+    engine, ids, _ = setup
+    r1 = decoding.triforce(engine, ids, max_len=16, seed=11)
+    r2 = decoding.triforce(engine, ids, max_len=16, seed=11)
+    assert r1.tokens == r2.tokens
+
+
+def _first_token_distribution(engine, state, step_fn, n_runs, seed0):
+    counts = np.zeros(engine.target_cfg.vocab_size, np.int64)
+    for i in range(n_runs):
+        s = state.replace(key=jax.random.PRNGKey(seed0 + i))
+        _, stats = step_fn(s)
+        counts[int(np.asarray(stats.tokens)[0])] += 1
+    return counts / n_runs
+
+
+@pytest.mark.parametrize("mode", ["retrieval_spec", "triforce"])
+def test_lossless_first_token_marginal(setup, mode):
+    """Empirical marginal of the first token a speculation step emits must
+    match the target's top-p-filtered conditional: q(t)min(1,p/q) summed with
+    the rejection-residual path equals p(t) exactly (Leviathan et al.), for
+    ANY proposal q — including our middle model. TV distance ~ O(sqrt(V/N))
+    under the null; we assert a loose bound that still catches real bugs
+    (dropping the residual, wrong row indexing, biased accept test).
+    """
+    engine, ids, t_params = setup
+    state = engine.init_state(jax.random.PRNGKey(100))
+    state = engine.prefill_target(state, ids)
+    if mode == "triforce":
+        state = engine.prefill_draft(state, ids)
+        step_fn = engine.triforce_step
+    else:
+        step_fn = engine.retrieval_spec_step
+
+    # ground truth: target conditional given prefix + next_token
+    logits, kv2, _ = llama.forward_append(
+        TCFG, t_params, state.next_token[None].astype(jnp.int32), state.kv)
+    p_true = np.asarray(sampling.norm_logits(
+        logits[0, -1][None], SPEC.temperature, SPEC.top_k, SPEC.top_p)[0])
+
+    n_runs = 1500
+    emp = _first_token_distribution(engine, state, step_fn, n_runs, 10_000)
+    tv = 0.5 * np.abs(emp - p_true).sum()
+    # under H0 (multinomial sampling noise), E[TV] = 0.5 * sum_t E|emp_t-p_t|
+    # ~ 0.5 * sum_t sqrt(2 p_t (1-p_t) / (pi N)). Bound at 1.5x the null
+    # expectation (calibrated: engine measured at 0.97x null with N=4000).
+    null_tv = 0.5 * np.sqrt(2 * p_true * (1 - p_true) / (np.pi * n_runs)).sum()
+    assert tv < 1.5 * null_tv, (
+        f"TV {tv:.4f} vs null expectation {null_tv:.4f} — spec decoding biased")
+    # support check: emitted tokens must lie inside the target's top-p set
+    assert (emp[p_true == 0] == 0).all(), "emitted token outside target support"
+
+
+def test_kv_state_after_step(setup):
+    """After a step, kv.seq_len == old + accepted + 1 (rollback contract,
+    reference decoding.py:124)."""
+    engine, ids, _ = setup
+    state = engine.init_state(jax.random.PRNGKey(200))
+    state = engine.prefill_target(state, ids)
+    state = engine.prefill_draft(state, ids)
+    old = int(state.kv.seq_len)
+    new_state, stats = engine.triforce_step(state)
+    assert int(new_state.kv.seq_len) == old + int(stats.accepted) + 1
+    g2 = int(stats.gamma2)
+    assert g2 in (SPEC.gamma, SPEC.gamma + 1)
+    assert int(stats.n_emitted) == (int(stats.accepted) +
+                                    int(stats.resampled) + int(stats.bonus))

@@ -1,0 +1,472 @@
+"""Execution engine: jit-compiled static-shape decode programs.
+
+TPU-native replacement for the reference's CUDA-graph layer
+(``/root/reference/utils/graph_infer.py``). Where the reference captures
+gamma+3 drafter graphs + 1 verify graph and replays them from a host loop
+with ``.item()`` round-trips per token (decoding.py:183-193), here the WHOLE
+hierarchy round — drafter<->middle speculation loop, full-cache target
+verify, exact rejection sampling, cache rollback, retrieval tail refresh and
+drafter window compaction — is ONE jitted XLA executable
+(``Engine.triforce_step``). Sampling is key-threaded on device, so there are
+zero host<->device synchronisations inside a step and zero cross-host
+broadcasts (replicated program + shared key replaces the reference's rank-0
+broadcast/barrier per token, decoding.py:230-239).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .config import ModelConfig, SpecConfig
+from .cache import (KVCache, RetrievalCache, StreamingCache, init_kv,
+                    init_retrieval, init_streaming, streaming_evict_prefill,
+                    streaming_evict_for_spec, retrieval_tail_refresh)
+from .models import llama
+from .ops import sampling
+
+JUNK_TOKEN = 100  # reference pads spec buffers with token id 100
+
+
+@struct.dataclass
+class TriForceState:
+    """All mutable decode state, threaded through jitted steps."""
+    kv: KVCache            # target full cache
+    rkv: RetrievalCache    # target retrieval cache
+    dkv: StreamingCache    # drafter StreamingLLM cache
+    next_token: jax.Array  # [B] last sampled token (not yet in kv)
+    key: jax.Array         # PRNG key
+
+
+@struct.dataclass
+class StepStats:
+    """Per-step outputs (device scalars; host accumulates)."""
+    tokens: jax.Array         # [gamma + 2] emitted tokens, junk-padded
+    n_emitted: jax.Array      # count_acc + resampled + bonus
+    gamma2: jax.Array         # middle tokens proposed to the target
+    accepted: jax.Array       # outer accepts
+    resampled: jax.Array      # 1 if outer rejection resampled
+    bonus: jax.Array          # 1 if all-accepted bonus sampled
+    eos: jax.Array            # bool: EOS emitted this step
+    mid_draft: jax.Array      # drafter proposals in the middle loop
+    mid_accept: jax.Array     # drafter proposals the middle accepted
+
+
+class Engine:
+    """Holds params + compiled programs for one (target, drafter) pair.
+
+    reference analogue: GraphInferenceEngine (graph_infer.py:129-194).
+    """
+
+    def __init__(self, target_cfg: ModelConfig, spec: SpecConfig,
+                 target_params, *, draft_cfg: Optional[ModelConfig] = None,
+                 draft_params=None, prefill: int, max_cache_len: int,
+                 eos_token_id: int = 2, dtype=jnp.bfloat16,
+                 prefill_chunk: int = 128, draft_prefill_chunk: int = 64,
+                 batch: int = 1, donate: bool = True):
+        assert prefill % spec.chunk_size == 0
+        self.target_cfg = target_cfg
+        self.draft_cfg = draft_cfg
+        self.spec = spec
+        self.prefill = prefill
+        self.max_cache_len = max_cache_len
+        self.eos_token_id = eos_token_id
+        self.dtype = dtype
+        self.prefill_chunk = prefill_chunk
+        self.draft_prefill_chunk = draft_prefill_chunk
+        self.batch = batch
+        self.t_params = target_params
+        self.d_params = draft_params
+
+        def _dn(*idx):
+            return idx if donate else ()
+
+        cfg, sp = target_cfg, spec
+
+        # --- prefill chunk (target): append T tokens, return logits -------
+        def _prefill_t(params, ids, kv):
+            return llama.forward_append(cfg, params, ids, kv)[:2]
+        self._prefill_t = jax.jit(_prefill_t, donate_argnums=_dn(2))
+
+        # --- last prefill token: append + build retrieval cache -----------
+        def _build(params, ids, kv, rkv):
+            logits, kv, rkv = llama.forward_append(
+                cfg, params, ids, kv, build_rkv=rkv, prefill=self.prefill,
+                chunk_size=sp.chunk_size, budget=sp.budget)
+            return logits, kv, rkv
+        self._build = jax.jit(_build, donate_argnums=_dn(2, 3))
+
+        # --- AR decode step (baseline) -------------------------------------
+        def _ar_step(params, kv, token, key):
+            logits, kv, _ = llama.forward_append(cfg, params,
+                                                 token[:, None], kv)
+            probs = sampling.norm_logits(logits[:, -1], sp.temperature,
+                                         sp.top_k, sp.top_p)
+            key, k2 = jax.random.split(key)
+            return sampling.sample(k2, probs), kv, key
+        self._ar_step = jax.jit(_ar_step, donate_argnums=_dn(1))
+
+        # --- drafter prefill chunk ------------------------------------------
+        if draft_cfg is not None:
+            dcfg = draft_cfg
+
+            def _prefill_d(params, ids, dkv):
+                dkv = streaming_evict_prefill(dkv, sp,
+                                              self.draft_prefill_chunk)
+                return llama.draft_forward(dcfg, params, ids, dkv)
+            self._prefill_d = jax.jit(_prefill_d, donate_argnums=_dn(2))
+
+        self._triforce_step = jax.jit(
+            functools.partial(_triforce_step, cfg, draft_cfg, sp,
+                              self.prefill, eos_token_id),
+            donate_argnums=_dn(2))
+        self._retrieval_spec_step = jax.jit(
+            functools.partial(_retrieval_spec_step, cfg, sp, self.prefill,
+                              eos_token_id),
+            donate_argnums=_dn(1))
+
+    # ------------------------------------------------------------------
+    # state construction / prefill drivers (host loops over jitted chunks)
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TriForceState:
+        kv = init_kv(self.target_cfg, self.max_cache_len, self.batch,
+                     self.dtype)
+        rkv = init_retrieval(self.target_cfg, self.spec, self.batch,
+                             self.dtype)
+        if self.draft_cfg is not None:
+            dkv = init_streaming(self.draft_cfg, self.spec, self.batch,
+                                 self.dtype)
+        else:  # placeholder so the pytree structure is stable
+            dkv = StreamingCache(k=jnp.zeros((0,), self.dtype),
+                                 v=jnp.zeros((0,), self.dtype),
+                                 seq_len=jnp.zeros((), jnp.int32))
+        return TriForceState(kv=kv, rkv=rkv, dkv=dkv,
+                             next_token=jnp.zeros((self.batch,), jnp.int32),
+                             key=key)
+
+    def prefill_target(self, state: TriForceState,
+                       input_ids: jnp.ndarray) -> TriForceState:
+        """Chunked prefill of all but the last token, then a 1-token forward
+        that also builds the retrieval cache.
+        reference: decoding.py:48-49 + graph_infer.py:31-37.
+        """
+        p = input_ids.shape[1]
+        assert p == self.prefill
+        kv, rkv = state.kv, state.rkv
+        body, c = input_ids[:, :-1], self.prefill_chunk
+        n_full = body.shape[1] // c
+        logits = None
+        for i in range(n_full):
+            logits, kv = self._prefill_t(self.t_params,
+                                         body[:, i * c:(i + 1) * c], kv)
+        rem = body.shape[1] - n_full * c
+        if rem:
+            logits, kv = self._prefill_t(self.t_params, body[:, -rem:], kv)
+        logits, kv, rkv = self._build(self.t_params, input_ids[:, -1:], kv,
+                                      rkv)
+        probs = sampling.norm_logits(logits[:, -1], self.spec.temperature,
+                                     self.spec.top_k, self.spec.top_p)
+        key, k2 = jax.random.split(state.key)
+        next_token = sampling.sample(k2, probs)
+        return state.replace(kv=kv, rkv=rkv, next_token=next_token, key=key)
+
+    def prefill_draft(self, state: TriForceState, input_ids: jnp.ndarray,
+                      mode: str = "full") -> TriForceState:
+        """Drafter prefill with StreamingLLM eviction.
+
+        ``mode='full'`` replays the whole prompt in 64-token chunks like the
+        reference (graph_infer.py:43-52). ``mode='fast'`` only processes the
+        sink chunk + the tokens that can survive eviction — same cache
+        OCCUPANCY but window KV conditioned on less context (draft quality
+        changes slightly; losslessness is unaffected since the drafter is
+        only a proposal distribution).
+        """
+        c = self.draft_prefill_chunk
+        sp = self.spec
+        if mode == "fast":
+            cap = sp.draft_start_size + sp.draft_recent_size
+            keep = (cap // c) * c
+            if input_ids.shape[1] > keep:
+                input_ids = jnp.concatenate(
+                    [input_ids[:, :c], input_ids[:, -(keep - c):]], axis=1)
+        dkv = state.dkv
+        n = input_ids.shape[1]
+        for i in range(0, n - n % c, c):
+            _, dkv = self._prefill_d(self.d_params, input_ids[:, i:i + c],
+                                     dkv)
+        if n % c:
+            rem = n % c
+            dkv = streaming_evict_prefill(dkv, sp, c)
+            _, dkv = jax.jit(
+                functools.partial(llama.draft_forward, self.draft_cfg),
+                donate_argnums=(2,))(self.d_params, input_ids[:, -rem:], dkv)
+        return state.replace(dkv=dkv)
+
+    # ------------------------------------------------------------------
+    # decode steps
+    # ------------------------------------------------------------------
+
+    def ar_step(self, params, kv, token, key):
+        return self._ar_step(params, kv, token, key)
+
+    def triforce_step(self, state: TriForceState):
+        return self._triforce_step(self.t_params, self.d_params, state)
+
+    def retrieval_spec_step(self, state: TriForceState):
+        return self._retrieval_spec_step(self.t_params, state)
+
+
+# ---------------------------------------------------------------------------
+# The fused TriForce step (reference: utils/decoding.py:41-160 + 163-223)
+# ---------------------------------------------------------------------------
+
+def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
+                 t_params, d_params, state: TriForceState):
+    """Drafter <-> middle speculation loop (reference Middle_Spec,
+    decoding.py:163-223) as a ``lax.while_loop``.
+
+    Per iteration: one drafter forward over the FIXED-width gamma+1 token
+    buffer (slots beyond the live prefix are causally inert junk — this one
+    program replaces the reference's gamma+3 per-offset CUDA graphs), sample
+    a proposal, one middle verify over the retrieval cache, then
+    accept(+bonus)/resample. The middle level intentionally keeps the
+    middle-model probabilities for BOTH outcomes (no residual resampling):
+    losslessness is enforced only at the outer level (SURVEY.md §2.3).
+    """
+    gamma = sp.gamma
+    vocab = t_cfg.vocab_size
+    kv_seq_len = state.kv.seq_len
+
+    verify_tokens0 = jnp.full((1, gamma + 1), JUNK_TOKEN, jnp.int32)
+    verify_tokens0 = verify_tokens0.at[0, 0].set(state.next_token[0])
+    gen_tokens0 = jnp.full((gamma + 1,), JUNK_TOKEN, jnp.int32)
+    gen_probs0 = jnp.zeros((gamma + 1, vocab), jnp.float32)
+
+    def cond(c):
+        return c["n"] < gamma
+
+    def body(c):
+        n = c["n"]
+        key, kd, kr, ka = jax.random.split(c["key"], 4)
+
+        # drafter step at gamma offset n (fixed-width input)
+        d_logits, dkv = llama.draft_forward_spec(
+            d_cfg, d_params, c["verify_tokens"], c["dkv"], sp)
+        q_n = sampling.norm_logits(d_logits[0, n][None], sp.temperature,
+                                   -1, sp.top_p)[0]  # graph_infer.py:57
+        tok = sampling.sample(kd, q_n)
+        verify_tokens = jax.lax.dynamic_update_slice(
+            c["verify_tokens"], tok[None, None].astype(jnp.int32),
+            (jnp.int32(0), n + 1))
+
+        # middle verify over the retrieval cache
+        m_logits, rkv = llama.forward_spec(t_cfg, t_params, verify_tokens,
+                                           c["rkv"], kv_seq_len, sp.budget)
+        p = sampling.norm_logits(m_logits[0], sp.temperature, -1, sp.top_p)
+
+        r = jax.random.uniform(kr)
+        ratio = p[n, tok] / jnp.maximum(q_n[tok], 1e-37)
+        accept = r < jnp.minimum(1.0, ratio)
+
+        def on_accept(args):
+            verify_tokens, gen_tokens, gen_probs, n, key = args
+            gen_tokens = gen_tokens.at[n].set(tok.astype(jnp.int32))
+            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p[n][None],
+                                                     (n, jnp.int32(0)))
+            n1 = n + 1
+            # bonus token from the next middle row (decoding.py:201-209)
+            tok2 = sampling.sample(ka, p[n1])
+            gen_tokens = gen_tokens.at[n1].set(tok2.astype(jnp.int32))
+            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p[n1][None],
+                                                     (n1, jnp.int32(0)))
+            n2 = n1 + 1
+            # guarded write (torch no-ops when n2 == gamma+1, SURVEY §7.3)
+            verify_tokens = jax.lax.cond(
+                n2 <= gamma,
+                lambda vt: jax.lax.dynamic_update_slice(
+                    vt, tok2[None, None].astype(jnp.int32),
+                    (jnp.int32(0), n2)),
+                lambda vt: vt, verify_tokens)
+            return verify_tokens, gen_tokens, gen_probs, n2, jnp.int32(1)
+
+        def on_reject(args):
+            verify_tokens, gen_tokens, gen_probs, n, key = args
+            # sample directly from the middle distribution (decoding.py:212)
+            tok2 = sampling.sample(ka, p[n])
+            gen_tokens = gen_tokens.at[n].set(tok2.astype(jnp.int32))
+            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p[n][None],
+                                                     (n, jnp.int32(0)))
+            n1 = n + 1
+            verify_tokens = jax.lax.dynamic_update_slice(
+                verify_tokens, tok2[None, None].astype(jnp.int32),
+                (jnp.int32(0), n1))
+            return verify_tokens, gen_tokens, gen_probs, n1, jnp.int32(0)
+
+        verify_tokens, gen_tokens, gen_probs, n, acc = jax.lax.cond(
+            accept, on_accept, on_reject,
+            (verify_tokens, c["gen_tokens"], c["gen_probs"], n, key))
+
+        return {"n": n, "verify_tokens": verify_tokens,
+                "gen_tokens": gen_tokens, "gen_probs": gen_probs,
+                "dkv": dkv, "rkv": rkv, "key": key,
+                "mid_draft": c["mid_draft"] + 1,
+                "mid_accept": c["mid_accept"] + acc}
+
+    init = {"n": jnp.int32(0), "verify_tokens": verify_tokens0,
+            "gen_tokens": gen_tokens0, "gen_probs": gen_probs0,
+            "dkv": state.dkv, "rkv": state.rkv, "key": state.key,
+            "mid_draft": jnp.int32(0), "mid_accept": jnp.int32(0)}
+    out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
+                             eos_token_id: int, t_params,
+                             state: TriForceState, gamma2, gen_tokens,
+                             gen_probs, key, has_draft: bool, d_cfg, d_params):
+    """Target full-cache verify + exact rejection sampling + cache commit.
+    reference: decoding.py:84-141.
+    """
+    gamma = sp.gamma
+    old_seq_len = state.kv.seq_len
+
+    # --- one full-cache target forward over [next_token, gen_tokens] ------
+    verify_in = jnp.concatenate(
+        [state.next_token[None].astype(jnp.int32),
+         gen_tokens[None, :gamma + 1]], axis=1)          # [1, gamma+2]
+    logits, kv, _ = llama.forward_append(t_cfg, t_params, verify_in, state.kv)
+    p_all = sampling.norm_logits(logits[0], sp.temperature, sp.top_k,
+                                 sp.top_p)               # [gamma+2, V]
+
+    # --- exact rejection sampling (decoding.py:97-118) ---------------------
+    def rej_body(i, c):
+        count, continuing, pred, resampled, eos_hit, key = c
+        key, kr, ks = jax.random.split(key, 3)
+        live = (i < gamma2) & continuing
+        tok = gen_tokens[i]
+        q_tok = gen_probs[i, tok]
+        p_tok = p_all[i, tok]
+        r = jax.random.uniform(kr)
+        accept = r < jnp.minimum(1.0, p_tok / jnp.maximum(q_tok, 1e-37))
+
+        res = sampling.sample(ks, sampling.max_fn(p_all[i] - gen_probs[i]))
+
+        acc_now = live & accept
+        rej_now = live & ~accept
+        count = count + acc_now.astype(jnp.int32)
+        pred = jnp.where(acc_now, tok, jnp.where(rej_now, res, pred))
+        eos_now = acc_now & (tok == eos_token_id)
+        eos_hit = eos_hit | eos_now
+        resampled = resampled | rej_now
+        continuing = continuing & ~rej_now & ~eos_now
+        return (count, continuing, pred, resampled, eos_hit, key)
+
+    key, kb = jax.random.split(key)
+    count, continuing, pred, resampled, eos_hit, key = jax.lax.fori_loop(
+        0, gamma + 1, rej_body,
+        (jnp.int32(0), jnp.bool_(True), jnp.int32(JUNK_TOKEN),
+         jnp.bool_(False), jnp.bool_(False), key))
+
+    # --- bonus token when everything was accepted (decoding.py:127-134) ---
+    bonus = count == gamma2
+    bonus_tok = sampling.sample(kb, p_all[gamma2])
+    pred = jnp.where(bonus, bonus_tok, pred)
+    eos_hit = eos_hit | (bonus & (bonus_tok == eos_token_id))
+
+    # --- cache commit: rollback + retrieval tail refresh ------------------
+    # appended gamma+2, want old + count + 1 kept (decoding.py:124)
+    kv = kv.rollback(gamma + 1 - count)
+    rkv = retrieval_tail_refresh(state.rkv, kv, sp, prefill, old_seq_len)
+
+    # --- emitted tokens this step ------------------------------------------
+    has_final = resampled | bonus
+    pos = jnp.arange(gamma + 2)
+    emitted = jnp.where(
+        pos < count, gen_tokens[jnp.minimum(pos, gamma)],
+        jnp.where((pos == count) & has_final, pred, JUNK_TOKEN))
+    n_emitted = count + has_final.astype(jnp.int32)
+
+    # --- drafter replay + window compaction (decoding.py:137-139) ---------
+    dkv = state.dkv
+    if has_draft:
+        pass_tokens = jnp.full((gamma + 3,), JUNK_TOKEN, jnp.int32)
+        ppos = jnp.arange(gamma + 3)
+        pass_tokens = jnp.where(
+            ppos == 0, state.next_token[0],
+            jnp.where(ppos <= count, gen_tokens[jnp.minimum(ppos - 1, gamma)],
+                      jnp.where((ppos == count + 1) & has_final, pred,
+                                JUNK_TOKEN)))
+        _, dkv = llama.draft_forward_spec(d_cfg, d_params, pass_tokens[None],
+                                          dkv, sp)
+        # the reference's count includes the bonus but NOT a resample
+        # (decoding.py:134-138) — we mirror that, including its quirk of
+        # dropping the last accepted token from the window on rejection.
+        count_ref = count + bonus.astype(jnp.int32)
+        dkv = streaming_evict_for_spec(dkv, sp, count_ref)
+
+    new_state = state.replace(kv=kv, rkv=rkv, dkv=dkv,
+                              next_token=pred[None], key=key)
+    stats = StepStats(tokens=emitted, n_emitted=n_emitted, gamma2=gamma2,
+                      accepted=count, resampled=resampled.astype(jnp.int32),
+                      bonus=bonus.astype(jnp.int32), eos=eos_hit,
+                      mid_draft=jnp.int32(0), mid_accept=jnp.int32(0))
+    return new_state, stats
+
+
+def _triforce_step(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
+                   prefill: int, eos_token_id: int,
+                   t_params, d_params, state: TriForceState):
+    """One full TriForce outer iteration (decoding.py:70-141), jitted whole."""
+    mid = _middle_spec(t_cfg, d_cfg, sp, t_params, d_params, state)
+    state = state.replace(dkv=mid["dkv"], rkv=mid["rkv"], key=mid["key"])
+    new_state, stats = _outer_verify_and_commit(
+        t_cfg, sp, prefill, eos_token_id, t_params, state, mid["n"],
+        mid["gen_tokens"], mid["gen_probs"], mid["key"], True, d_cfg,
+        d_params)
+    return new_state, stats.replace(mid_draft=mid["mid_draft"],
+                                    mid_accept=mid["mid_accept"])
+
+
+def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
+                         eos_token_id: int, t_params, state: TriForceState):
+    """Self-speculation step: the middle model (target weights over the
+    retrieval cache) autoregressively drafts gamma tokens, the full-cache
+    target verifies them — the minimum lossless slice (SURVEY.md §7.2 step 4;
+    no drafter level).
+    """
+    gamma = sp.gamma
+    vocab = t_cfg.vocab_size
+    kv_seq_len = state.kv.seq_len
+
+    verify_tokens0 = jnp.full((1, gamma + 1), JUNK_TOKEN, jnp.int32)
+    verify_tokens0 = verify_tokens0.at[0, 0].set(state.next_token[0])
+    gen_tokens0 = jnp.full((gamma + 1,), JUNK_TOKEN, jnp.int32)
+    gen_probs0 = jnp.zeros((gamma + 1, vocab), jnp.float32)
+
+    def body(n, c):
+        verify_tokens, gen_tokens, gen_probs, rkv, key = c
+        key, ks = jax.random.split(key)
+        m_logits, rkv = llama.forward_spec(t_cfg, t_params, verify_tokens,
+                                           rkv, kv_seq_len, sp.budget)
+        p = sampling.norm_logits(m_logits[0], sp.temperature, -1, sp.top_p)
+        tok = sampling.sample(ks, p[n])
+        gen_tokens = gen_tokens.at[n].set(tok.astype(jnp.int32))
+        gen_probs = jax.lax.dynamic_update_slice(gen_probs, p[n][None],
+                                                 (n, jnp.int32(0)))
+        verify_tokens = jax.lax.dynamic_update_slice(
+            verify_tokens, tok[None, None].astype(jnp.int32),
+            (jnp.int32(0), n + 1))
+        return (verify_tokens, gen_tokens, gen_probs, rkv, key)
+
+    verify_tokens, gen_tokens, gen_probs, rkv, key = jax.lax.fori_loop(
+        0, gamma, body,
+        (verify_tokens0, gen_tokens0, gen_probs0, state.rkv, state.key))
+    state = state.replace(rkv=rkv, key=key)
+    return _outer_verify_and_commit(
+        t_cfg, sp, prefill, eos_token_id, t_params, state, jnp.int32(gamma),
+        gen_tokens, gen_probs, key, False, None, None)

@@ -1,0 +1,95 @@
+"""Sharding specs for params, caches and decode state.
+
+Maps the reference's hand-rolled tensor parallelism to GSPMD annotations:
+  - Q/K/V/gate/up column-split, O/down row-split
+    (reference models/TP_layers.py:126-147) -> shard the matching matmul
+    axis over ``tp``; XLA inserts the two per-layer all-reduces the reference
+    issues by hand (tensor_op.py:179,359) as psums over ICI.
+  - KV caches sharded over the kv-head axis (reference cache.py:278
+    ``num_kv_heads // world_size``) and optionally the sequence axis over
+    ``sp`` — the TPU-native replacement for CPU offloading: a 64 GB 128K
+    cache lives across the pod slice instead of behind PCIe
+    (SURVEY.md §2.4, §5.7).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+
+
+def param_shardings(mesh: Mesh, cfg: ModelConfig):
+    """NamedSharding pytree matching ``llama.init_params`` structure.
+
+    Any dim that does not divide by the tp size falls back to replicated
+    (e.g. a vocab that is not a multiple of the mesh)."""
+    tp = mesh.shape["tp"]
+
+    def s(dims, *spec):
+        spec = tuple(ax if (ax is None or dims[i] % tp == 0) else None
+                     for i, ax in enumerate(spec))
+        return NamedSharding(mesh, P(*spec))
+
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    hq = cfg.num_heads * cfg.head_dim
+    hkv = cfg.num_kv_heads * cfg.head_dim
+    L, v = cfg.num_layers, cfg.vocab_size
+
+    return {
+        "embed": s((v, h), None, None),
+        "layers": {
+            "wq": s((L, h, hq), None, None, "tp"),    # column-parallel
+            "wk": s((L, h, hkv), None, None, "tp"),
+            "wv": s((L, h, hkv), None, None, "tp"),
+            "wo": s((L, hq, h), None, "tp", None),    # row-parallel
+            "w_gate": s((L, h, inter), None, None, "tp"),
+            "w_up": s((L, h, inter), None, None, "tp"),
+            "w_down": s((L, inter, h), None, "tp", None),
+            "ln_attn": s((L, h), None, None),
+            "ln_mlp": s((L, h), None, None),
+        },
+        "final_norm": s((h,), None),
+        "lm_head": s((h, v), None, "tp"),   # vocab-split; logits gathered
+    }
+
+
+def kv_shardings(mesh: Mesh, cfg: ModelConfig, shard_seq: bool = False):
+    """Sharding for a [L, B, H_kv, S, D] cache: heads over tp, optionally
+    sequence over sp. Requires num_kv_heads % tp_size == 0 (GQA models with
+    few KV heads should put the surplus on sp instead)."""
+    tp = mesh.shape["tp"]
+    assert cfg.num_kv_heads % tp == 0, (
+        f"num_kv_heads {cfg.num_kv_heads} not divisible by tp={tp}; "
+        "use sp for sequence sharding instead")
+    seq = "sp" if shard_seq else None
+    return NamedSharding(mesh, P(None, "dp", "tp", seq, None))
+
+
+def state_shardings(mesh: Mesh, target_cfg: ModelConfig, draft_cfg,
+                    shard_seq: bool = False):
+    """Shardings for a TriForceState pytree (see engine.TriForceState)."""
+    from ..engine import TriForceState  # circular-safe local import
+    from ..cache import KVCache, RetrievalCache, StreamingCache
+
+    full = kv_shardings(mesh, target_cfg, shard_seq=shard_seq)
+    # retrieval cache: small (budget+gamma+1) — shard heads only
+    rkv = kv_shardings(mesh, target_cfg, shard_seq=False)
+    rep = NamedSharding(mesh, P())
+    if draft_cfg is not None:
+        # the 68M drafter is replicated (reference replicates it on every
+        # rank too: TP_llama.py draft runs on all ranks)
+        dkv_s = rep
+    else:
+        dkv_s = rep
+    scalar = rep
+    return TriForceState(
+        kv=KVCache(k=full, v=full, seq_len=scalar),
+        rkv=RetrievalCache(k=rkv, v=rkv),
+        dkv=StreamingCache(k=dkv_s, v=dkv_s, seq_len=scalar),
+        next_token=scalar, key=scalar)
+
+
+def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+    return jax.device_put(params, param_shardings(mesh, cfg))
