@@ -1,0 +1,173 @@
+"""Benchmark harness: decode speedup of TriForce speculation vs plain
+autoregressive decoding at long context, on whatever backend is available.
+
+Prints ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+Progress goes to stderr.
+
+Reference baseline (BASELINE.md): 2.2x E2E decode speedup vs autoregressive
+for Llama2-7B-128K at 124K prefill on one A100 (reference README.md:49-55).
+On one TPU chip we measure the same quantity on ``BENCH_7B_PROXY`` — the 7B
+config's KV:weights byte ratio reproduced at single-chip scale (config.py) —
+with a REAL chunked prefill and the retrieval self-speculation hierarchy
+(BASELINE.json config 2; the 68M-drafter level needs trained weights to
+contribute, and checkpoints are not fetchable in this environment).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_engine(preset: str, args):
+    import jax.numpy as jnp
+    from triforce_tpu import config as C
+    from triforce_tpu.config import SpecConfig
+    from triforce_tpu.engine import Engine
+    from triforce_tpu.models import llama
+    import jax
+
+    if preset == "tiny":
+        cfg = C.TINY_TARGET
+        spec = SpecConfig(gamma=3, budget=16, chunk_size=4,
+                          draft_start_size=4, draft_recent_size=12,
+                          temperature=0.6, top_p=0.9)
+        prefill = args.prefill or 64
+        gen_len = args.gen_len or 32
+        dtype = jnp.float32
+    elif preset == "7b-proxy":
+        cfg = C.BENCH_7B_PROXY
+        spec = SpecConfig(gamma=6, budget=4096, chunk_size=8,
+                          temperature=0.6, top_p=0.9)
+        prefill = args.prefill or 63488
+        gen_len = args.gen_len or 128
+        dtype = jnp.bfloat16
+    else:
+        raise SystemExit(f"unknown preset {preset!r}")
+
+    log(f"[bench] preset={preset} prefill={prefill} gen_len={gen_len} "
+        f"budget={spec.budget} gamma={spec.gamma}")
+    t0 = time.perf_counter()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    jax.block_until_ready(params)
+    log(f"[bench] params initialised in {time.perf_counter() - t0:.1f}s")
+    engine = Engine(cfg, spec, params, prefill=prefill,
+                    max_cache_len=prefill + 2 * (gen_len + spec.gamma + 2),
+                    dtype=dtype, prefill_chunk=args.prefill_chunk)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, prefill), 0,
+                             cfg.vocab_size)
+    return engine, ids, gen_len
+
+
+def timed_prefill(engine, ids, seed):
+    import jax
+    t0 = time.perf_counter()
+    state = engine.init_state(jax.random.PRNGKey(seed))
+    state = engine.prefill_target(state, ids)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    log(f"[bench] prefill({ids.shape[1]}) in {dt:.1f}s "
+        f"({ids.shape[1] / dt:.0f} tok/s)")
+    return state, dt
+
+
+def run_ar(engine, ids, gen_len, warmup=3):
+    """Autoregressive baseline tokens/s (reference decoding.py:14-37)."""
+    import jax
+    state, prefill_s = timed_prefill(engine, ids, seed=0)
+    kv, token, key = state.kv, state.next_token, state.key
+    for _ in range(warmup):
+        token, kv, key = engine.ar_step(engine.t_params, kv, token, key)
+    jax.block_until_ready(token)
+    t0 = time.perf_counter()
+    for _ in range(gen_len):
+        token, kv, key = engine.ar_step(engine.t_params, kv, token, key)
+    jax.block_until_ready(token)
+    dt = time.perf_counter() - t0
+    del kv, state
+    tps = gen_len / dt
+    log(f"[bench] AR: {tps:.2f} tok/s ({1e3 * dt / gen_len:.1f} ms/token)")
+    return {"tokens_per_sec": tps, "ms_per_token": 1e3 * dt / gen_len,
+            "prefill_s": prefill_s}
+
+
+def run_spec(engine, ids, gen_len, warmup=2):
+    """Retrieval self-speculation decode tokens/s (BASELINE.json config 2)."""
+    import jax
+    state, prefill_s = timed_prefill(engine, ids, seed=0)
+    for _ in range(warmup):
+        state, stats = engine.retrieval_spec_step(state)
+    jax.block_until_ready(state)
+
+    n = steps = accepted = proposed = 0
+    t0 = time.perf_counter()
+    while n < gen_len:
+        state, stats = engine.retrieval_spec_step(state)
+        n += int(stats.n_emitted)
+        accepted += int(stats.accepted)
+        proposed += int(stats.gamma2)
+        steps += 1
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    del state
+    tps = n / dt
+    acc = accepted / max(proposed, 1)
+    log(f"[bench] retrieval-spec: {tps:.2f} tok/s "
+        f"({1e3 * dt / n:.1f} ms/token), acceptance {acc:.3f}, "
+        f"{n / steps:.2f} tok/step")
+    return {"tokens_per_sec": tps, "ms_per_token": 1e3 * dt / n,
+            "acceptance_rate": acc, "tokens_per_step": n / steps,
+            "prefill_s": prefill_s}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="auto",
+                   choices=["auto", "tiny", "7b-proxy"])
+    p.add_argument("--prefill", type=int, default=None)
+    p.add_argument("--gen-len", type=int, default=None)
+    p.add_argument("--prefill-chunk", type=int, default=128)
+    args = p.parse_args()
+
+    import jax
+    backend = jax.default_backend()
+    preset = args.preset
+    if preset == "auto":
+        preset = "7b-proxy" if backend == "tpu" else "tiny"
+    log(f"[bench] backend={backend} devices={jax.devices()}")
+
+    engine, ids, gen_len = build_engine(preset, args)
+    ar = run_ar(engine, ids, gen_len)
+    spec = run_spec(engine, ids, gen_len)
+
+    speedup = spec["tokens_per_sec"] / ar["tokens_per_sec"]
+    baseline = 2.2  # reference on-chip E2E speedup (README.md:49-55)
+    out = {
+        "metric": "triforce_retrieval_speedup_vs_autoregressive",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / baseline, 4),
+        "detail": {
+            "preset": preset,
+            "backend": backend,
+            "prefill": int(ids.shape[1]),
+            "gen_len": gen_len,
+            "ar": {k: round(v, 4) for k, v in ar.items()},
+            "spec": {k: round(v, 4) for k, v in spec.items()},
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

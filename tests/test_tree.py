@@ -1,0 +1,151 @@
+"""Tree speculation: planner structure invariants + end-to-end tree decode on
+a tiny model, mirroring the reference's Sequoia mode
+(test/offloading_seqouia.py) which it can only exercise on multi-GPU rigs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from triforce_tpu import config as cfg_mod
+from triforce_tpu.models import llama
+from triforce_tpu.tree import planner
+from triforce_tpu.tree.spectree import TreeEngine, tree_decode
+
+TCFG = cfg_mod.TINY_TARGET
+PREFILL = 32
+BUDGET = 16
+CHUNK = 4
+
+
+def small_grow_map():
+    p = planner.modeled_acceptance_vector(0.8, max_branch=3)
+    T, choice = planner.plan_tree(p, max_budget=8, max_depth=4)
+    return planner.build_grow_map(T, choice, 8, 4)
+
+
+def test_planner_tree_structure():
+    gm = small_grow_map()
+    assert gm.size == 8
+    # node 0 is root at depth 0; every other node has exactly one parent
+    assert gm.depth[0] == 0
+    parents = {0: None}
+    for i in range(gm.size):
+        for c in gm.successors[i]:
+            if c >= 0:
+                assert c not in parents, "node has two parents"
+                parents[int(c)] = i
+    assert set(parents) == set(range(gm.size))
+    # ancestor mask: row i = row parent(i) + self bit
+    for i in range(1, gm.size):
+        par = parents[i]
+        expect = gm.mask[par].copy()
+        expect[i] = True
+        np.testing.assert_array_equal(gm.mask[i], expect)
+    # depth consistency + BFS ordering (children after parents)
+    for i in range(1, gm.size):
+        assert gm.depth[i] == gm.depth[parents[i]] + 1
+        assert i > parents[i]
+    # levels cover all non-leaf nodes exactly once
+    rooted = [r for lvl in gm.roots for r in lvl]
+    assert rooted[0] == 0
+    assert len(rooted) == len(set(rooted))
+
+
+def test_planner_chain_when_acceptance_certain():
+    # with p[1]=1 and only 1 branch allowed, the best tree is a chain
+    p = np.array([0.0, 1.0])
+    T, choice = planner.plan_tree(p, max_budget=5, max_depth=5)
+    gm = planner.build_grow_map(T, choice, 5, 5)
+    assert gm.size == 5
+    assert all(sum(b) == 1 for b in gm.branches)
+    assert np.array_equal(gm.depth, np.arange(5))
+
+
+def test_grow_map_roundtrip(tmp_path):
+    gm = small_grow_map()
+    path = str(tmp_path / "gm.json")
+    gm.save(path)
+    gm2 = planner.GrowMap.load(path)
+    assert gm2.size == gm.size
+    np.testing.assert_array_equal(gm2.mask, gm.mask)
+    np.testing.assert_array_equal(gm2.successors, gm.successors)
+    assert gm2.roots == gm.roots
+
+
+@pytest.fixture(scope="module")
+def tree_engine():
+    params = llama.init_params(jax.random.PRNGKey(0), TCFG, dtype=jnp.float32)
+    gm = small_grow_map()
+    engine = TreeEngine(TCFG, gm, params, prefill=PREFILL,
+                        max_cache_len=PREFILL + 64, budget=BUDGET,
+                        chunk_size=CHUNK, temperature=0.8, top_p=0.9,
+                        eos_ids=(0, 2), dtype=jnp.float32,
+                        prefill_chunk=16, donate=False)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, PREFILL), 3,
+                             TCFG.vocab_size)
+    return engine, ids
+
+
+def test_tree_step_commits_path(tree_engine):
+    engine, ids = tree_engine
+    state = engine.init_state(jax.random.PRNGKey(5))
+    state = engine.prefill_target(state, ids)
+    seq0 = int(state.kv.seq_len)
+    assert seq0 == PREFILL
+    new_state, stats = engine.step(state)
+    n_nodes = int(stats.n_nodes)
+    assert 1 <= n_nodes <= int(engine.gm.depth.max()) + 1
+    assert int(new_state.kv.seq_len) == seq0 + n_nodes
+    ne = int(stats.n_emitted)
+    assert ne == n_nodes - 1 + (0 if bool(stats.terminal) else 1)
+    toks = np.asarray(stats.tokens)[:ne]
+    assert ((0 <= toks) & (toks < TCFG.vocab_size)).all()
+
+
+def test_tree_decode_generates(tree_engine):
+    engine, ids = tree_engine
+    res = tree_decode(engine, ids, max_len=16, seed=11)
+    assert len(res.tokens) >= 2
+    assert res.steps >= 1
+    assert all(0 <= t < TCFG.vocab_size for t in res.tokens)
+
+
+def test_tree_verify_matches_sequential_forward(tree_engine):
+    """The one-shot tree-masked target verify must produce, along any
+    root-to-node path, the same logits as feeding that path sequentially —
+    the correctness core of tree attention (SpecTree_TP.py:168-173)."""
+    engine, ids = tree_engine
+    gm = engine.gm
+    state = engine.init_state(jax.random.PRNGKey(5))
+    state = engine.prefill_target(state, ids)
+    params = engine.params
+
+    # pick the deepest node and its ancestor chain
+    leaf = int(np.argmax(gm.depth))
+    chain = [leaf]
+    parents = {}
+    for i in range(gm.size):
+        for c in gm.successors[i]:
+            if c >= 0:
+                parents[int(c)] = i
+    while chain[-1] != 0:
+        chain.append(parents[chain[-1]])
+    chain.reverse()
+
+    tokens = np.full((gm.size,), 7, np.int64)
+    tokens[chain] = (11 + np.arange(len(chain))) % TCFG.vocab_size
+
+    seq0 = state.kv.seq_len
+    logits_tree, _, _ = llama.forward_append(
+        TCFG, params, jnp.asarray(tokens)[None], state.kv,
+        positions=seq0 + jnp.asarray(gm.depth, jnp.int32),
+        tree_mask=gm.mask)
+
+    logits_seq, _, _ = llama.forward_append(
+        TCFG, params, jnp.asarray(tokens[chain])[None], state.kv)
+
+    got = np.asarray(logits_tree)[0, chain]
+    want = np.asarray(logits_seq)[0]
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)

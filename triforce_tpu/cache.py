@@ -21,6 +21,8 @@ Cache zoo mapping (reference -> here):
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -100,6 +102,17 @@ def init_kv(cfg: ModelConfig, max_len: int, batch: int = 1,
 def init_retrieval(cfg: ModelConfig, spec: SpecConfig, batch: int = 1,
                    dtype=jnp.bfloat16) -> RetrievalCache:
     real = spec.budget + spec.gamma + 1  # reference: cache.py:129
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, real, cfg.head_dim)
+    return RetrievalCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def init_tree_retrieval(cfg: ModelConfig, budget: int, tree_size: int,
+                        batch: int = 1, dtype=jnp.bfloat16) -> RetrievalCache:
+    """Tree-speculation variant: ``budget`` selected slots + ``tree_size``
+    scratch slots addressed by (static) storage ids.
+    reference: cache.py:385-483 (DistributedRetrievalCache_Seqouia,
+    real_budget = max_budget + tree_size at cache.py:408)."""
+    real = budget + tree_size
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, real, cfg.head_dim)
     return RetrievalCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
@@ -192,8 +205,43 @@ def streaming_evict_for_spec(cache: StreamingCache, spec: SpecConfig,
     return cache.replace(k=k, v=v)
 
 
+def gather_kv_incremental(kv: KVCache, accept_idx: jax.Array,
+                          n_accept: jax.Array, offset: jax.Array,
+                          max_accept: int) -> KVCache:
+    """Compact an accepted speculation-tree path in place: slot
+    ``offset + accept_idx[j]`` moves to ``offset + j`` for ``j < n_accept``,
+    and ``seq_len`` becomes ``offset + n_accept``.
+    reference: cache.py:333-343 (DistributedSimpleCache.gather_kv_incremental).
+
+    ``accept_idx`` is a fixed-size [max_accept] i32 buffer (tree node ids in
+    path order, junk beyond ``n_accept``); copies run front-to-back, which is
+    safe because a path's node ids are strictly increasing (BFS order), so
+    ``accept_idx[j] >= j`` always.
+    """
+    offset = offset.astype(jnp.int32)
+
+    def body(j, ckcv):
+        ck, cv = ckcv
+        src = offset + accept_idx[j]
+        tok_k = jax.lax.dynamic_slice_in_dim(ck, src, 1, axis=3)
+        tok_v = jax.lax.dynamic_slice_in_dim(cv, src, 1, axis=3)
+
+        def write(args):
+            ck, cv = args
+            dst = offset + j
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, tok_k, dst, axis=3)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, tok_v, dst, axis=3)
+            return ck, cv
+
+        return jax.lax.cond(j < n_accept, write, lambda a: a, (ck, cv))
+
+    k, v = jax.lax.fori_loop(0, max_accept, body, (kv.k, kv.v))
+    return kv.replace(k=k, v=v, seq_len=offset + n_accept.astype(jnp.int32))
+
+
 def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
-                           prefill: int, new_from: jax.Array) -> RetrievalCache:
+                           prefill: int, new_from: jax.Array,
+                           max_new: Optional[int] = None) -> RetrievalCache:
     """Write tokens ``[new_from, kv.seq_len)`` of the full cache into the
     retrieval budget region at descending slots from
     ``budget - 1 - (new_from - prefill)``.
@@ -205,7 +253,8 @@ def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
     permutation-invariant, so the distribution is identical while we copy
     O(gamma) slots per step instead of O(g)).
     """
-    max_new = spec.gamma + 2  # per outer step: <= gamma2 + 1 <= gamma + 2
+    if max_new is None:
+        max_new = spec.gamma + 2  # per outer step: <= gamma2 + 1 <= gamma + 2
     budget = spec.budget
     n_new = kv.seq_len - new_from  # 0 <= n_new <= max_new
     new_from = new_from.astype(jnp.int32)

@@ -122,6 +122,7 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                    positions: Optional[jnp.ndarray] = None,
                    build_rkv: Optional[RetrievalCache] = None,
                    prefill: int = 0, chunk_size: int = 8, budget: int = 0,
+                   tree_mask=None,
                    ) -> Tuple[jnp.ndarray, KVCache, Optional[RetrievalCache]]:
     """Append ``T`` tokens to the full cache and attend causally over it.
 
@@ -129,6 +130,12 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     retrieval budget region from this token's query — fused into the same
     forward exactly like the reference's in-attention hook
     (modeling_llama.py:232-238). ``prefill``/``chunk_size``/``budget`` static.
+
+    When ``tree_mask`` (static [T, T] bool ancestor matrix) is given, the T
+    appended tokens are a speculation tree: token i attends the committed
+    prefix plus its tree ancestors (reference SpecTree verify,
+    utils/SpecTree_TP.py:168-173); ``positions`` must then be the per-node
+    depths offset by ``seq_len``.
     """
     b, t = input_ids.shape
     building = build_rkv is not None
@@ -144,8 +151,19 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     s_max = kv.max_len
     slot_pos = jnp.arange(s_max)
 
+    if tree_mask is None:
+        mask_fn = causal_from(seq_len0)
+    else:
+        tmask = jnp.asarray(tree_mask, bool)
+
+        def mask_fn(rows, cols):
+            rel = cols - seq_len0
+            in_new = (rel >= 0) & (rel < t)
+            anc = tmask[rows, jnp.clip(rel, 0, t - 1)]
+            return jnp.where(in_new, anc, cols < seq_len0)
+
     def body(carry, lp):
-        x, ck, cv, rk, rv, l = carry
+        x, ck, cv, l = carry
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
@@ -156,29 +174,39 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         k_all, v_all = read_layer(ck, cv, l)
         if cfg.rope_on_slots:
             k_all = rope.apply_rope(k_all, cos, sin, slot_pos)
-        ctx = blockwise_attention(q, k_all, v_all, causal_from(seq_len0))
+        ctx = blockwise_attention(q, k_all, v_all, mask_fn)
         x = x + _attn_out(ctx, lp)
-
-        if building:
-            k_sel, v_sel = retrieval_ops.build_layer(
-                q, k_all, v_all, prefill, chunk_size, budget)
-            zero = jnp.zeros((), jnp.int32)
-            idx = (l, zero, zero, zero, zero)
-            rk = jax.lax.dynamic_update_slice(rk, k_sel[None], idx)
-            rv = jax.lax.dynamic_update_slice(rv, v_sel[None], idx)
-
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
-        return (x, ck, cv, rk, rv, l + 1), None
+        # when building, stack this layer's rotated query for the second pass
+        ys = q if building else None
+        return (x, ck, cv, l + 1), ys
 
-    rk0 = build_rkv.k if building else jnp.zeros((0,), jnp.bfloat16)
-    rv0 = build_rkv.v if building else jnp.zeros((0,), jnp.bfloat16)
-    init = (x, kv.k, kv.v, rk0, rv0, jnp.zeros((), jnp.int32))
-    (x, ck, cv, rk, rv, _), _ = jax.lax.scan(body, init, params["layers"])
+    init = (x, kv.k, kv.v, jnp.zeros((), jnp.int32))
+    (x, ck, cv, _), qs = jax.lax.scan(body, init, params["layers"])
 
     logits = _logits(cfg, params, x)
     kv_out = kv.replace(k=ck, v=cv, seq_len=kv.seq_len + t)
-    rkv_out = build_rkv.replace(k=rk, v=rv) if building else None
+
+    rkv_out = None
+    if building:
+        # Second, READ-ONLY scan over the cache stack: slicing the cache as
+        # scan xs (instead of carrying + reading it in the forward scan)
+        # keeps the 2x full-KV HLO temp copies XLA would otherwise insert
+        # for the read-after-write hazard out of HBM — the cache is the
+        # single biggest allocation (64 GB at 7B-128K scale).
+        def build_body(_, xs):
+            k_l, v_l, q_l = xs
+            k_sel, v_sel = retrieval_ops.build_layer(
+                q_l, k_l, v_l, prefill, chunk_size, budget)
+            return None, (k_sel, v_sel)
+
+        _, (rk_sel, rv_sel) = jax.lax.scan(build_body, None, (ck, cv, qs))
+        zero = jnp.zeros((), jnp.int32)
+        idx = (zero, zero, zero, zero, zero)
+        rk = jax.lax.dynamic_update_slice(build_rkv.k, rk_sel, idx)
+        rv = jax.lax.dynamic_update_slice(build_rkv.v, rv_sel, idx)
+        rkv_out = build_rkv.replace(k=rk, v=rv)
     return logits, kv_out, rkv_out
 
 
@@ -208,6 +236,57 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         rk, rv = append_layer(rk, rv, l, k_new, v_new, scratch0)
         k_all, v_all = read_layer(rk, rv, l)
         ctx = blockwise_attention(q, k_all, v_all, budget_causal(budget))
+        x = x + _attn_out(ctx, lp)
+        h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        x = x + _mlp(h, lp)
+        return (x, rk, rv, l + 1), None
+
+    init = (x, rkv.k, rkv.v, jnp.zeros((), jnp.int32))
+    (x, rk, rv, _), _ = jax.lax.scan(body, init, params["layers"])
+    return _logits(cfg, params, x), rkv.replace(k=rk, v=rv)
+
+
+def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
+                      rkv: RetrievalCache, kv_seq_len: jnp.ndarray,
+                      budget: int, depths, ancestor_mask, slot_start: int,
+                      ) -> Tuple[jnp.ndarray, RetrievalCache]:
+    """Middle-model forward of one speculation-tree frontier over the tree
+    retrieval cache.
+
+    ``input_ids`` [1, T] are the frontier tokens (all of one grow level);
+    their KV lands at STATIC scratch slots ``budget + slot_start .. + T``
+    (the reference scatters by storage_ids, cache.py:456-463 — here level
+    slots are consecutive in BFS order so the scatter is a static-slice
+    write). ``depths`` is the static [T] node-depth vector (positions are
+    ``kv_seq_len + depth``, SpecTree_TP.py:134); ``ancestor_mask`` is the
+    static [T, tree_size] ancestor matrix rows of these nodes — a query sees
+    the whole budget region plus its tree ancestors
+    (tensor_op.py:230-272, TP_Attention_Tree_Retrieval).
+    """
+    b, t = input_ids.shape
+    tree_size = rkv.real_budget - budget
+    cos, sin = rope.cos_sin_tables(cfg)
+    positions = kv_seq_len + jnp.asarray(depths, jnp.int32)
+    amask = jnp.asarray(ancestor_mask, bool)
+    write0 = jnp.asarray(budget + slot_start, jnp.int32)
+
+    def mask_fn(rows, cols):
+        rel = cols - budget
+        in_tree = (rel >= 0) & (rel < tree_size)
+        anc = amask[rows, jnp.clip(rel, 0, tree_size - 1)]
+        return jnp.where(in_tree, anc, cols < budget)
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+
+    def body(carry, lp):
+        x, rk, rv, l = carry
+        h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q, k_new, v_new = _qkv(h, lp, cfg)
+        q = rope.apply_rope(q, cos, sin, positions)
+        k_new = rope.apply_rope(k_new, cos, sin, positions)
+        rk, rv = append_layer(rk, rv, l, k_new, v_new, write0)
+        k_all, v_all = read_layer(rk, rv, l)
+        ctx = blockwise_attention(q, k_all, v_all, mask_fn)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)

@@ -1,0 +1,310 @@
+"""Sequoia-style tree speculation on the retrieval-cache middle model.
+
+TPU-native re-design of the reference's SpecTree
+(``/root/reference/utils/SpecTree_TP.py`` + ``test/offloading_seqouia.py``):
+the whole round — grow the token tree level by level through the middle model
+(target weights over the tree retrieval cache), verify ALL tree nodes in one
+full-cache target forward with the tree attention mask, walk the tree with
+multi-child rejection sampling + residual updates, compact the accepted path
+into the KV cache, refresh the retrieval tail — is ONE jitted XLA executable
+per step. The grow map (tree shape, masks, depths, successor table) is static
+compile-time data; child sampling is replicated Gumbel-top-k with shared PRNG
+keys, which deletes the reference's rank-0 sample + 5 broadcasts + 4 barriers
+per round (SpecTree_TP.py:205-224, offloading_seqouia.py:29-39).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import ModelConfig, SpecConfig
+from ..cache import (KVCache, RetrievalCache, init_kv, init_tree_retrieval,
+                     gather_kv_incremental, retrieval_tail_refresh)
+from ..models import llama
+from ..ops import sampling
+from .planner import GrowMap
+
+JUNK_TOKEN = 100
+_NEG_INF = jnp.float32(-1e30)
+
+
+@struct.dataclass
+class TreeState:
+    kv: KVCache
+    rkv: RetrievalCache   # budget + tree_size slots
+    next_token: jax.Array  # [1]
+    key: jax.Array
+
+
+@struct.dataclass
+class TreeStepStats:
+    tokens: jax.Array      # [max_path + 1] emitted, junk-padded
+    n_emitted: jax.Array
+    n_nodes: jax.Array     # accepted path length incl. root
+    terminal: jax.Array    # bool: EOS hit or zero residual
+    eos: jax.Array
+
+
+class TreeEngine:
+    """Compiled programs for tree-speculative decoding of one target model.
+
+    reference analogue: SpecTree + DistributedLlama_tree
+    (SpecTree_TP.py:31-88, TP_llama_tree.py:405-425)."""
+
+    def __init__(self, cfg: ModelConfig, grow_map: GrowMap, params, *,
+                 prefill: int, max_cache_len: int, budget: int = 4096,
+                 chunk_size: int = 8, temperature: float = 0.6,
+                 top_p: float = 0.9, eos_ids=(0, 2), dtype=jnp.bfloat16,
+                 prefill_chunk: int = 128, donate: bool = True):
+        assert prefill % chunk_size == 0 and budget % chunk_size == 0
+        self.cfg = cfg
+        self.gm = grow_map
+        self.params = params
+        self.prefill = prefill
+        self.max_cache_len = max_cache_len
+        self.budget = budget
+        self.chunk_size = chunk_size
+        self.temperature = temperature
+        self.top_p = top_p
+        self.dtype = dtype
+        self.prefill_chunk = prefill_chunk
+
+        def _dn(*idx):
+            return idx if donate else ()
+
+        def _prefill_t(params, ids, kv):
+            return llama.forward_append(cfg, params, ids, kv)[:2]
+        self._prefill_t = jax.jit(_prefill_t, donate_argnums=_dn(2))
+
+        def _build(params, ids, kv, rkv):
+            return llama.forward_append(
+                cfg, params, ids, kv, build_rkv=rkv, prefill=prefill,
+                chunk_size=chunk_size, budget=budget)
+        self._build = jax.jit(_build, donate_argnums=_dn(2, 3))
+
+        self._step = jax.jit(
+            functools.partial(_tree_step, cfg, grow_map, budget, prefill,
+                              temperature, top_p, tuple(eos_ids)),
+            donate_argnums=_dn(1))
+
+    def init_state(self, key: jax.Array) -> TreeState:
+        kv = init_kv(self.cfg, self.max_cache_len, dtype=self.dtype)
+        rkv = init_tree_retrieval(self.cfg, self.budget, self.gm.size,
+                                  dtype=self.dtype)
+        return TreeState(kv=kv, rkv=rkv,
+                         next_token=jnp.zeros((1,), jnp.int32), key=key)
+
+    def prefill_target(self, state: TreeState, input_ids) -> TreeState:
+        """Chunked prefill + retrieval build + root sample
+        (SpecTree_TP.py:91-100)."""
+        assert input_ids.shape[1] == self.prefill
+        kv, rkv = state.kv, state.rkv
+        body, c = input_ids[:, :-1], self.prefill_chunk
+        n_full = body.shape[1] // c
+        for i in range(n_full):
+            _, kv = self._prefill_t(self.params, body[:, i * c:(i + 1) * c],
+                                    kv)
+        rem = body.shape[1] - n_full * c
+        if rem:
+            _, kv = self._prefill_t(self.params, body[:, -rem:], kv)
+        logits, kv, rkv = self._build(self.params, input_ids[:, -1:], kv, rkv)
+        probs = sampling.norm_logits(logits[:, -1], self.temperature, -1,
+                                     self.top_p)
+        key, ks = jax.random.split(state.key)
+        next_token = sampling.sample(ks, probs).astype(jnp.int32)
+        return state.replace(kv=kv, rkv=rkv, next_token=next_token, key=key)
+
+    def step(self, state: TreeState) -> Tuple[TreeState, TreeStepStats]:
+        return self._step(self.params, state)
+
+
+def _grow(cfg: ModelConfig, gm: GrowMap, budget: int, temp: float,
+          params, state: TreeState):
+    """Build the token tree through the middle model
+    (reference construct_grow_map / collective_grow_static,
+    SpecTree_TP.py:103-144)."""
+    vocab = cfg.vocab_size
+    size = gm.size
+    kv_seq_len = state.kv.seq_len
+    key = state.key
+
+    verify_tokens = jnp.full((size,), JUNK_TOKEN, jnp.int32)
+    verify_tokens = verify_tokens.at[0].set(state.next_token[0])
+    draft_logits = jnp.zeros((size, vocab), jnp.float32)
+
+    logits, rkv = llama.forward_tree_spec(
+        cfg, params, state.next_token[None], state.rkv, kv_seq_len, budget,
+        depths=gm.depth[0:1], ancestor_mask=gm.mask[0:1], slot_start=0)
+    draft_logits = draft_logits.at[0].set(logits[0, 0].astype(jnp.float32))
+
+    start = 1
+    for lvl, (roots, branches) in enumerate(zip(gm.roots, gm.branches)):
+        n_lvl = int(sum(branches))
+        if n_lvl == 0:
+            continue
+        roots_arr = np.asarray(roots, np.int32)
+        max_k = int(max(branches))
+        # per-root Gumbel-top-k = sampling WITHOUT replacement from
+        # softmax(draft_logits / T) — replicated, keyed, no broadcast
+        # (reference: offloading_seqouia.py:29-39 rank-0 + bcast)
+        key, kg = jax.random.split(key)
+        root_logits = draft_logits[roots_arr] / temp      # [R, V]
+        g = jax.random.gumbel(kg, root_logits.shape, jnp.float32)
+        cand = jax.lax.top_k(root_logits + g, max_k)[1]   # [R, max_k]
+        gather = np.concatenate(
+            [j * max_k + np.arange(br) for j, br in enumerate(branches)]
+        ).astype(np.int32)                                # static, like
+        tokens = cand.reshape(-1)[gather]                 # sample_gather_indices
+        verify_tokens = jax.lax.dynamic_update_slice(
+            verify_tokens, tokens.astype(jnp.int32), (start,))
+
+        logits, rkv = llama.forward_tree_spec(
+            cfg, params, tokens[None], rkv, kv_seq_len, budget,
+            depths=gm.depth[start:start + n_lvl],
+            ancestor_mask=gm.mask[start:start + n_lvl], slot_start=start)
+        draft_logits = jax.lax.dynamic_update_slice(
+            draft_logits, logits[0].astype(jnp.float32), (start, 0))
+        start += n_lvl
+
+    return verify_tokens, draft_logits, rkv, key
+
+
+def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
+               temp: float, top_p: float, eos_ids, params,
+               state: TreeState):
+    """One full tree round: grow -> verify -> accept walk -> commit.
+    reference: SpecTree.construct_grow_map + verify (SpecTree_TP.py:103-236).
+    """
+    verify_tokens, draft_logits, rkv, key = _grow(cfg, gm, budget, temp,
+                                                  params, state)
+    seq0 = state.kv.seq_len
+    depth_c = jnp.asarray(gm.depth, jnp.int32)
+    succ_c = jnp.asarray(gm.successors, jnp.int32)
+    max_c = gm.max_children
+    max_path = int(gm.depth.max()) + 1
+
+    # --- ONE full-cache verify over all tree nodes (SpecTree_TP.py:168-175)
+    logits_t, kv, _ = llama.forward_append(
+        cfg, params, verify_tokens[None], state.kv,
+        positions=seq0 + depth_c, tree_mask=gm.mask)
+    p_all = sampling.norm_logits(logits_t[0], temp, -1, top_p)  # [size, V]
+
+    # --- accept walk with residual updates (SpecTree_TP.py:147-165,177-203)
+    def child_loop(p, dl, cur, key):
+        kids = succ_c[cur]
+
+        def body(j, c):
+            p, dl, chosen, key = c
+            child = kids[j]
+            live = (child >= 0) & (chosen < 0)
+            tok = verify_tokens[jnp.maximum(child, 0)]
+            q = jax.nn.softmax(dl / temp)
+            key, kr = jax.random.split(key)
+            r = jax.random.uniform(kr)
+            ok = live & (p[tok] > r * q[tok])
+            rej = live & ~ok
+            chosen = jnp.where(ok, child, chosen)
+            p = jnp.where(rej, _residual(p, q), p)
+            dl = jnp.where(rej, dl.at[tok].set(_NEG_INF), dl)
+            return p, dl, chosen, key
+
+        return jax.lax.fori_loop(
+            0, max_c, body, (p, dl, jnp.int32(-1), key))
+
+    def cond(c):
+        return ~c[4]
+
+    def walk(c):
+        cur, n_nodes, accept_idx, key, done, eos_hit, final_p = c
+        p, dl, chosen, key = child_loop(p_all[cur], draft_logits[cur], cur,
+                                        key)
+        accepted = chosen >= 0
+        tok_ch = verify_tokens[jnp.maximum(chosen, 0)]
+        eos = accepted & jnp.any(tok_ch == jnp.asarray(eos_ids, jnp.int32))
+        accept_idx = accept_idx.at[n_nodes].set(
+            jnp.where(accepted, chosen, accept_idx[n_nodes]))
+        n_nodes = n_nodes + accepted.astype(jnp.int32)
+        done = ~accepted | eos
+        final_p = jnp.where(accepted, final_p, p)
+        return (jnp.where(accepted, chosen, cur), n_nodes, accept_idx, key,
+                done, eos_hit | eos, final_p)
+
+    init = (jnp.int32(0), jnp.int32(1), jnp.zeros((max_path,), jnp.int32),
+            key, jnp.bool_(False), jnp.bool_(False),
+            jnp.zeros((cfg.vocab_size,), jnp.float32))
+    cur, n_nodes, accept_idx, key, _, eos_hit, final_p = jax.lax.while_loop(
+        cond, walk, init)
+
+    # residual / bonus sample (SpecTree_TP.py:197-203)
+    zero_res = jnp.sum(final_p) <= 0
+    terminal = eos_hit | zero_res
+    key, ks = jax.random.split(key)
+    next_tok = jnp.where(terminal, jnp.int32(JUNK_TOKEN),
+                         sampling.sample(ks, final_p).astype(jnp.int32))
+
+    # --- commit: compact accepted path + retrieval tail refresh ----------
+    kv = gather_kv_incremental(kv, accept_idx, n_nodes, seq0, max_path)
+    spec_like = SpecConfig(budget=budget, chunk_size=1)
+    rkv = retrieval_tail_refresh(rkv, kv, spec_like, prefill, seq0,
+                                 max_new=max_path)
+
+    # --- emitted tokens: accepted children then the sampled token --------
+    pos = jnp.arange(max_path + 1)
+    acc_toks = verify_tokens[accept_idx[jnp.minimum(pos + 1, max_path - 1)]]
+    emitted = jnp.where(
+        pos < n_nodes - 1, acc_toks,
+        jnp.where((pos == n_nodes - 1) & ~terminal, next_tok, JUNK_TOKEN))
+    n_emitted = n_nodes - 1 + (~terminal).astype(jnp.int32)
+
+    new_state = state.replace(kv=kv, rkv=rkv, next_token=next_tok[None],
+                              key=key)
+    stats = TreeStepStats(tokens=emitted, n_emitted=n_emitted,
+                          n_nodes=n_nodes, terminal=terminal, eos=eos_hit)
+    return new_state, stats
+
+
+def _residual(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """relu(p - q) normalised; all-zero stays all-zero (-> terminal), exactly
+    like the reference's NaN check (get_residual, offloading_seqouia.py:24-27
+    + SpecTree_TP.py:199)."""
+    pos = jnp.maximum(p - q, 0.0)
+    s = jnp.sum(pos)
+    return jnp.where(s > 0, pos / jnp.where(s > 0, s, 1.0),
+                     jnp.zeros_like(pos))
+
+
+def tree_decode(engine: TreeEngine, input_ids, max_len: int = 256,
+                seed: int = 0):
+    """Host driver (reference loop: offloading_seqouia.py:148-208)."""
+    import time
+    from ..decoding import DecodeResult
+
+    state = engine.init_state(jax.random.PRNGKey(seed))
+    state = engine.prefill_target(state, input_ids)
+    out = [int(state.next_token[0])]
+
+    n = steps = 0
+    nodes = 0
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    while n < max_len:
+        state, stats = engine.step(state)
+        steps += 1
+        ne = int(stats.n_emitted)
+        out.extend(np.asarray(stats.tokens)[:ne].tolist())
+        n += ne
+        nodes += int(stats.n_nodes)
+        if bool(stats.terminal):
+            break
+    jax.block_until_ready(state)
+    t1 = time.perf_counter()
+    return DecodeResult(tokens=out, tokens_per_sec=n / max(t1 - t0, 1e-9),
+                        acceptance_rate=nodes / max(steps * engine.gm.size, 1),
+                        avg_tokens_per_step=n / max(steps, 1),
+                        steps=steps, wall_s=t1 - t0)
