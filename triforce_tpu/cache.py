@@ -100,8 +100,9 @@ def init_kv(cfg: ModelConfig, max_len: int, batch: int = 1,
 
 
 def init_retrieval(cfg: ModelConfig, spec: SpecConfig, batch: int = 1,
-                   dtype=jnp.bfloat16) -> RetrievalCache:
+                   dtype=jnp.bfloat16, pad_to: int = 1) -> RetrievalCache:
     real = spec.budget + spec.gamma + 1  # reference: cache.py:129
+    real = -(-real // pad_to) * pad_to   # Pallas DMA block alignment
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, real, cfg.head_dim)
     return RetrievalCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
@@ -207,36 +208,32 @@ def streaming_evict_for_spec(cache: StreamingCache, spec: SpecConfig,
 
 def gather_kv_incremental(kv: KVCache, accept_idx: jax.Array,
                           n_accept: jax.Array, offset: jax.Array,
-                          max_accept: int) -> KVCache:
+                          max_accept: int, max_span: int) -> KVCache:
     """Compact an accepted speculation-tree path in place: slot
     ``offset + accept_idx[j]`` moves to ``offset + j`` for ``j < n_accept``,
     and ``seq_len`` becomes ``offset + n_accept``.
     reference: cache.py:333-343 (DistributedSimpleCache.gather_kv_incremental).
 
     ``accept_idx`` is a fixed-size [max_accept] i32 buffer (tree node ids in
-    path order, junk beyond ``n_accept``); copies run front-to-back, which is
-    safe because a path's node ids are strictly increasing (BFS order), so
-    ``accept_idx[j] >= j`` always.
+    path order, junk beyond ``n_accept``); ``max_span`` bounds the appended
+    region (the tree size). Implemented as read-small-block -> gather ->
+    blend -> ONE dynamic_update_slice, so the multi-GB cache never rides a
+    loop carry (see models/llama.py memory contract).
     """
     offset = offset.astype(jnp.int32)
+    sel = jnp.arange(max_accept) < n_accept
+    sel = sel[None, None, None, :, None]
+    idx = jnp.clip(accept_idx[:max_accept], 0, max_span - 1)
 
-    def body(j, ckcv):
-        ck, cv = ckcv
-        src = offset + accept_idx[j]
-        tok_k = jax.lax.dynamic_slice_in_dim(ck, src, 1, axis=3)
-        tok_v = jax.lax.dynamic_slice_in_dim(cv, src, 1, axis=3)
+    def one(cache):
+        block = jax.lax.dynamic_slice_in_dim(cache, offset, max_span, axis=3)
+        gathered = jnp.take(block, idx, axis=3)
+        blend = jnp.where(sel, gathered, block[:, :, :, :max_accept])
+        return jax.lax.dynamic_update_slice_in_dim(cache, blend, offset,
+                                                   axis=3)
 
-        def write(args):
-            ck, cv = args
-            dst = offset + j
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, tok_k, dst, axis=3)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, tok_v, dst, axis=3)
-            return ck, cv
-
-        return jax.lax.cond(j < n_accept, write, lambda a: a, (ck, cv))
-
-    k, v = jax.lax.fori_loop(0, max_accept, body, (kv.k, kv.v))
-    return kv.replace(k=k, v=v, seq_len=offset + n_accept.astype(jnp.int32))
+    return kv.replace(k=one(kv.k), v=one(kv.v),
+                      seq_len=offset + n_accept.astype(jnp.int32))
 
 
 def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
@@ -258,20 +255,22 @@ def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
     budget = spec.budget
     n_new = kv.seq_len - new_from  # 0 <= n_new <= max_new
     new_from = new_from.astype(jnp.int32)
+    # slot of token (new_from + j) is budget - 1 - base - j, so the written
+    # slots form the contiguous block [budget - base - max_new, budget - base)
+    # in REVERSED token order. Read-blend-write one block (no loop carry of
+    # the retrieval cache). Supported regime: base + max_new <= budget, i.e.
+    # generated tokens within the budget region (same capacity the reference
+    # assumes: its refresh overwrites budget tail slots, cache.py:180-182).
+    base = new_from - prefill
+    lo = budget - base - max_new
+    sel = (max_new - 1 - jnp.arange(max_new)) < n_new  # position j valid
+    sel = sel[None, None, None, :, None]
 
-    def body(j, rk_rv):
-        rk, rv = rk_rv
-        tok_k = jax.lax.dynamic_slice_in_dim(kv.k, new_from + j, 1, axis=3)
-        tok_v = jax.lax.dynamic_slice_in_dim(kv.v, new_from + j, 1, axis=3)
-        slot = budget - 1 - (new_from - prefill) - j
+    def one(rc, fc):
+        toks = jax.lax.dynamic_slice_in_dim(fc, new_from, max_new, axis=3)
+        toks = jnp.flip(toks, axis=3)
+        old = jax.lax.dynamic_slice_in_dim(rc, lo, max_new, axis=3)
+        blend = jnp.where(sel, toks, old)
+        return jax.lax.dynamic_update_slice_in_dim(rc, blend, lo, axis=3)
 
-        def write(args):
-            rk, rv = args
-            rk = jax.lax.dynamic_update_slice_in_dim(rk, tok_k, slot, axis=3)
-            rv = jax.lax.dynamic_update_slice_in_dim(rv, tok_v, slot, axis=3)
-            return rk, rv
-
-        return jax.lax.cond(j < n_new, write, lambda a: a, (rk, rv))
-
-    k, v = jax.lax.fori_loop(0, max_new, body, (rkv.k, rkv.v))
-    return rkv.replace(k=k, v=v)
+    return rkv.replace(k=one(rkv.k, kv.k), v=one(rkv.v, kv.v))

@@ -1,0 +1,179 @@
+"""Unified CLI: the parity surface of the reference's four entry scripts
+(``test/on_chip.py``, ``test/offloading.py``, ``test/offloading_TP.py``,
+``test/offloading_seqouia.py``) as one command:
+
+    python -m triforce_tpu.cli --mode triforce  ...   # 3-level hierarchy
+    python -m triforce_tpu.cli --mode retrieval ...   # self-spec (no drafter)
+    python -m triforce_tpu.cli --mode ar        ...   # autoregressive baseline
+    python -m triforce_tpu.cli --mode tree      ...   # Sequoia tree spec
+
+Models are either preset names (random weights — for perf work without
+checkpoints) or local HF checkpoint dirs / zoo names (models/hf.py). There is
+no torchrun / NCCL / on_chip-layer knob: distribution is a mesh
+(--tp/--sp), the same program on every host (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        prog="triforce_tpu",
+        description="TPU-native TriForce: hierarchical speculative decoding")
+    p.add_argument("--mode", default="triforce",
+                   choices=["triforce", "retrieval", "ar", "tree"])
+    p.add_argument("--model", default="tiny-target",
+                   help="config preset, HF checkpoint dir, or zoo name")
+    p.add_argument("--draft", default="tiny-draft",
+                   help="drafter preset / checkpoint (mode=triforce)")
+    # reference shared knobs (on_chip.py:21-40, offloading_TP.py:26-44)
+    p.add_argument("--prefill", type=int, default=4096)
+    p.add_argument("--gen_len", "--gen-len", type=int, default=256,
+                   dest="gen_len")
+    p.add_argument("--gamma", type=int, default=6)
+    p.add_argument("--budget", type=int, default=4096)
+    p.add_argument("--chunk_size", "--chunk-size", type=int, default=8,
+                   dest="chunk_size")
+    p.add_argument("--draft_cache_budget", type=int, default=266)
+    p.add_argument("--start_size", type=int, default=16)
+    p.add_argument("--temp", type=float, default=0.6)
+    p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "128k", "gs", "one-shot", "demo",
+                            "lwm"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--file", default="", help="CSV log path (misc.log_csv)")
+    p.add_argument("--dtype", default=None, help="bfloat16|float32")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel size (shards the KV cache)")
+    p.add_argument("--tree_size", type=int, default=64,
+                   help="speculation-tree nodes (mode=tree)")
+    p.add_argument("--tree_depth", type=int, default=8)
+    p.add_argument("--tree_accept", type=float, default=0.8,
+                   help="modeled acceptance rate for the tree planner")
+    p.add_argument("--grow_map", default="",
+                   help="planned grow-map JSON (tree/planner.py); overrides "
+                        "--tree_size/--tree_depth/--tree_accept")
+    return p.parse_args(argv)
+
+
+def load_model(spec: str, dtype):
+    """Resolve preset name -> random params, else HF checkpoint."""
+    import jax
+    from . import config as C
+    from .models import hf, llama
+
+    if spec in C.PRESETS:
+        cfg = C.PRESETS[spec]
+        params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+        return cfg, params, None
+    path = hf.resolve_checkpoint(spec)
+    cfg, params = hf.load_params(path, dtype=str(dtype.dtype if hasattr(
+        dtype, "dtype") else dtype))
+    tokenizer = None
+    try:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(path)
+    except Exception:
+        pass
+    return cfg, params, tokenizer
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import data as data_mod
+    from . import decoding
+    from .config import SpecConfig
+    from .engine import Engine
+    from .utils.misc import print_config, log_csv
+
+    dtype = jnp.bfloat16 if (args.dtype or (
+        "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    )) == "bfloat16" else jnp.float32
+
+    recent = max(args.draft_cache_budget - args.start_size - 16, 16)
+    spec = SpecConfig(gamma=args.gamma, budget=args.budget,
+                      chunk_size=args.chunk_size,
+                      draft_start_size=args.start_size,
+                      draft_recent_size=recent,
+                      temperature=args.temp, top_p=args.top_p,
+                      max_len=args.gen_len)
+
+    t_cfg, t_params, tokenizer = load_model(args.model, dtype)
+    print_config(mode=args.mode, model=args.model, prefill=args.prefill,
+                 gen_len=args.gen_len, gamma=args.gamma, budget=args.budget,
+                 chunk_size=args.chunk_size, temp=args.temp,
+                 top_p=args.top_p, dataset=args.dataset, seed=args.seed,
+                 backend=jax.default_backend(), tp=args.tp, sp=args.sp)
+
+    prompts = data_mod.get_dataset(args.dataset, tokenizer,
+                                   datalen=args.prefill,
+                                   vocab_size=t_cfg.vocab_size,
+                                   seed=args.seed)
+    ids = jnp.asarray(data_mod.fit_prompt(prompts[0], args.prefill))
+
+    if args.mode == "tree":
+        from .tree import planner
+        from .tree.spectree import TreeEngine, tree_decode
+        if args.grow_map:
+            gm = planner.GrowMap.load(args.grow_map)
+        else:
+            pvec = planner.modeled_acceptance_vector(args.tree_accept, 4)
+            T, choice = planner.plan_tree(pvec, args.tree_size,
+                                          args.tree_depth)
+            gm = planner.build_grow_map(T, choice, args.tree_size,
+                                        args.tree_depth)
+        engine = TreeEngine(
+            t_cfg, gm, t_params, prefill=args.prefill,
+            max_cache_len=args.prefill + args.gen_len + 2 * gm.size,
+            budget=args.budget, chunk_size=args.chunk_size,
+            temperature=args.temp, top_p=args.top_p, dtype=dtype)
+        res = tree_decode(engine, ids, max_len=args.gen_len, seed=args.seed)
+    else:
+        d_cfg = d_params = None
+        if args.mode == "triforce":
+            d_cfg, d_params, _ = load_model(args.draft, dtype)
+        engine = Engine(
+            t_cfg, spec, t_params, draft_cfg=d_cfg, draft_params=d_params,
+            prefill=args.prefill,
+            max_cache_len=args.prefill + 2 * (args.gen_len + spec.gamma + 2),
+            dtype=dtype)
+        fn = {"triforce": decoding.triforce,
+              "retrieval": decoding.retrieval_spec,
+              "ar": decoding.autoregressive}[args.mode]
+        kw = {} if args.mode == "ar" else {"stop_on_eos": False}
+        res = fn(engine, ids, max_len=args.gen_len, seed=args.seed,
+                 verbose=args.verbose, tokenizer=tokenizer, **kw)
+
+    print(f"\n[{args.mode}] {res.tokens_per_sec:.2f} tokens/s "
+          f"({1e3 / max(res.tokens_per_sec, 1e-9):.1f} ms/token), "
+          f"acceptance {res.acceptance_rate:.3f}, "
+          f"{res.avg_tokens_per_step:.2f} tokens/step, "
+          f"{res.steps} steps, wall {res.wall_s:.1f}s")
+
+    if args.file:
+        header = ("mode,model,prefill,gen_len,gamma,budget,chunk_size,temp,"
+                  "top_p,dataset,seed,tokens_per_sec,acceptance_rate,"
+                  "avg_tokens_per_step\n")
+        entry = (f"{args.mode},{args.model},{args.prefill},{args.gen_len},"
+                 f"{args.gamma},{args.budget},{args.chunk_size},{args.temp},"
+                 f"{args.top_p},{args.dataset},{args.seed},"
+                 f"{res.tokens_per_sec:.3f},{res.acceptance_rate:.4f},"
+                 f"{res.avg_tokens_per_step:.3f}\n")
+        log_csv(args.file, header, entry)
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,9 @@ class Engine:
                  prefill_chunk: int = 128, draft_prefill_chunk: int = 64,
                  batch: int = 1, donate: bool = True):
         assert prefill % spec.chunk_size == 0
+        # align caches to the Pallas DMA block on TPU (flash_decode.py)
+        self.cache_pad = 512 if jax.default_backend() == "tpu" else 1
+        max_cache_len = -(-max_cache_len // self.cache_pad) * self.cache_pad
         self.target_cfg = target_cfg
         self.draft_cfg = draft_cfg
         self.spec = spec
@@ -77,7 +80,11 @@ class Engine:
         self.eos_token_id = eos_token_id
         self.dtype = dtype
         self.prefill_chunk = prefill_chunk
-        self.draft_prefill_chunk = draft_prefill_chunk
+        # eviction keeps recent - chunk tokens, so the chunk cannot exceed
+        # the recent window (reference uses 64 vs recent 250,
+        # graph_infer.py:47)
+        self.draft_prefill_chunk = min(draft_prefill_chunk,
+                                       spec.draft_recent_size)
         self.batch = batch
         self.t_params = target_params
         self.d_params = draft_params
@@ -137,7 +144,7 @@ class Engine:
         kv = init_kv(self.target_cfg, self.max_cache_len, self.batch,
                      self.dtype)
         rkv = init_retrieval(self.target_cfg, self.spec, self.batch,
-                             self.dtype)
+                             self.dtype, pad_to=self.cache_pad)
         if self.draft_cfg is not None:
             dkv = init_streaming(self.draft_cfg, self.spec, self.batch,
                                  self.dtype)

@@ -1,0 +1,175 @@
+"""HF checkpoint ingestion: config translation + weight conversion into the
+stacked params pytree used by ``models/llama.py``.
+
+Replaces the reference's runtime dependence on ``transformers``
+``from_pretrained`` (test/on_chip.py:48-53, TP_llama.py:89-114: load the
+whole torch model, then re-shard by hand). Here weights are read straight
+from safetensors / torch checkpoints into numpy, transposed once into the
+matmul-friendly [in, out] layout, stacked [L, ...] for the layer ``scan``,
+and can then be device_put with NamedShardings (parallel/sharding.py) — the
+GSPMD equivalent of the reference's staggered per-rank load.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import ModelConfig, RopeConfig
+
+
+def config_from_hf(cfg: dict) -> ModelConfig:
+    """Translate an HF Llama ``config.json`` dict (including the yarn
+    ``rope_scaling`` schema of the reference's config_yarn.py:184-193)."""
+    rs = cfg.get("rope_scaling") or {}
+    kind = rs.get("type", "llama")
+    if kind in ("yarn", "dynamic-yarn"):
+        rope = RopeConfig(
+            kind="yarn",
+            theta=float(cfg.get("rope_theta", 10000.0)),
+            scaling_factor=float(rs.get("factor", 1.0)),
+            original_max_position_embeddings=int(
+                rs.get("original_max_position_embeddings", 4096)),
+            beta_fast=float(rs.get("beta_fast", 32.0)),
+            beta_slow=float(rs.get("beta_slow", 1.0)),
+            extrapolation_factor=float(rs.get("extrapolation_factor", 1.0)),
+            attn_factor=float(rs.get("attn_factor", 1.0)),
+        )
+    else:
+        rope = RopeConfig(kind="llama",
+                          theta=float(cfg.get("rope_theta", 10000.0)))
+    num_heads = int(cfg["num_attention_heads"])
+    return ModelConfig(
+        vocab_size=int(cfg["vocab_size"]),
+        hidden_size=int(cfg["hidden_size"]),
+        intermediate_size=int(cfg["intermediate_size"]),
+        num_layers=int(cfg["num_hidden_layers"]),
+        num_heads=num_heads,
+        num_kv_heads=int(cfg.get("num_key_value_heads", num_heads)),
+        head_dim=int(cfg["hidden_size"]) // num_heads,
+        max_position_embeddings=int(cfg.get("max_position_embeddings", 4096)),
+        rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-5)),
+        rope=rope,
+        tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+    )
+
+
+def _read_state_dict(model_dir: str) -> dict:
+    """Read all tensors (as numpy) from a local HF checkpoint directory —
+    safetensors shards preferred, torch ``.bin`` fallback."""
+    st_files = sorted(f for f in os.listdir(model_dir)
+                      if f.endswith(".safetensors"))
+    if st_files:
+        from safetensors import safe_open
+        out = {}
+        for f in st_files:
+            with safe_open(os.path.join(model_dir, f), framework="np") as sf:
+                for k in sf.keys():
+                    out[k] = sf.get_tensor(k)
+        return out
+    bin_files = sorted(f for f in os.listdir(model_dir)
+                       if f.endswith(".bin") and "pytorch_model" in f)
+    if not bin_files:
+        raise FileNotFoundError(
+            f"no safetensors/bin checkpoint shards in {model_dir}")
+    import torch
+    out = {}
+    for f in bin_files:
+        sd = torch.load(os.path.join(model_dir, f), map_location="cpu",
+                        weights_only=True)
+        for k, v in sd.items():
+            out[k] = v.float().numpy()
+    return out
+
+
+def load_params(model_dir: str, dtype="bfloat16",
+                cfg: Optional[ModelConfig] = None
+                ) -> Tuple[ModelConfig, dict]:
+    """Load a local HF Llama checkpoint into (ModelConfig, params pytree).
+
+    Layout contract (must match llama.init_params): projection matrices are
+    [in, out] (HF nn.Linear stores [out, in] -> transposed here), per-layer
+    weights stacked on a leading [L] axis for the layer scan.
+    """
+    import jax.numpy as jnp
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    if cfg is None:
+        cfg = config_from_hf(hf_cfg)
+    sd = _read_state_dict(model_dir)
+    jdt = jnp.dtype(dtype)
+
+    def get(name: str) -> np.ndarray:
+        if name in sd:
+            return np.asarray(sd[name])
+        # some exports drop the "model." prefix
+        alt = name.removeprefix("model.")
+        return np.asarray(sd[alt])
+
+    def stack_t(fmt: str) -> np.ndarray:
+        """Stack layer weights, transposing [out,in] -> [in,out]."""
+        return np.stack([get(fmt.format(i)).T
+                         for i in range(cfg.num_layers)])
+
+    def stack(fmt: str) -> np.ndarray:
+        return np.stack([get(fmt.format(i))
+                         for i in range(cfg.num_layers)])
+
+    L = "model.layers.{}."
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), jdt),
+        "layers": {
+            "wq": jnp.asarray(stack_t(L + "self_attn.q_proj.weight"), jdt),
+            "wk": jnp.asarray(stack_t(L + "self_attn.k_proj.weight"), jdt),
+            "wv": jnp.asarray(stack_t(L + "self_attn.v_proj.weight"), jdt),
+            "wo": jnp.asarray(stack_t(L + "self_attn.o_proj.weight"), jdt),
+            "w_gate": jnp.asarray(stack_t(L + "mlp.gate_proj.weight"), jdt),
+            "w_up": jnp.asarray(stack_t(L + "mlp.up_proj.weight"), jdt),
+            "w_down": jnp.asarray(stack_t(L + "mlp.down_proj.weight"), jdt),
+            "ln_attn": jnp.asarray(stack(L + "input_layernorm.weight"), jdt),
+            "ln_mlp": jnp.asarray(
+                stack(L + "post_attention_layernorm.weight"), jdt),
+        },
+        "final_norm": jnp.asarray(get("model.norm.weight"), jdt),
+    }
+    if cfg.tie_word_embeddings or "lm_head.weight" not in sd:
+        params["lm_head"] = params["embed"].T
+    else:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, jdt)
+    return cfg, params
+
+
+# Reference model zoo (test/offloading_TP.py:56-65): name -> HF repo id.
+MODEL_ZOO = {
+    "llama-7b-128k": "NousResearch/Yarn-Llama-2-7b-128k",
+    "llama-13b-128k": "NousResearch/Yarn-Llama-2-13b-128k",
+    "lwm-128k": "LargeWorldModel/LWM-Text-128K",
+    "lwm-chat-128k": "LargeWorldModel/LWM-Text-Chat-128K",
+    "llama-68m": "JackFram/llama-68m",
+    "tinyllama-1.1b-128k": "NousResearch/Yarn-Llama-2-7b-128k",  # arch proxy
+}
+
+
+def resolve_checkpoint(name_or_dir: str) -> str:
+    """Resolve a zoo name or path to a local checkpoint directory, checking
+    the HF cache layout. Raises with a clear message when the checkpoint is
+    not available locally (this environment has no network egress)."""
+    if os.path.isdir(name_or_dir):
+        return name_or_dir
+    repo = MODEL_ZOO.get(name_or_dir, name_or_dir)
+    cache = os.environ.get(
+        "HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    snap_root = os.path.join(cache, "hub",
+                             "models--" + repo.replace("/", "--"),
+                             "snapshots")
+    if os.path.isdir(snap_root):
+        snaps = sorted(os.listdir(snap_root))
+        if snaps:
+            return os.path.join(snap_root, snaps[-1])
+    raise FileNotFoundError(
+        f"checkpoint {name_or_dir!r} (repo {repo!r}) not found locally; "
+        f"download it to the HF cache or pass a directory path")

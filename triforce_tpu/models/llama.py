@@ -8,13 +8,24 @@ are a pytree of stacked per-layer arrays, the layer loop is a ``lax.scan``
 sharded — GSPMD inserts the collectives the reference issues by hand
 (``tensor_op.py:179,359``).
 
+MEMORY CONTRACT (the TPU-native answer to the reference's in-place CUDA
+caches): the multi-GB KV cache is read-only inside the layer scan — each
+layer's slab arrives as a scan xs slice, attention fetches blocks from it,
+and the freshly projected K/V for the T new tokens are emitted as tiny scan
+ys. ONE top-level ``dynamic_update_slice`` then commits the [L, B, H, T, D]
+new-KV stack into the donated cache buffer, which XLA runs in place. Caches
+must never be produced by a scan or carried through a loop: XLA
+double-buffers such values (2x 64 GB at 7B-128K scale).
+
 Forward modes (all static-shape, all jittable):
   forward_append      — prefill chunks / AR decode / full-cache target verify
                         (reference ``model_run``, graph_infer.py:29-40),
                         optionally building the retrieval cache on a 1-token
-                        forward (reference modeling_llama.py:232-238)
+                        forward (reference modeling_llama.py:232-238), or
+                        verifying a speculation tree with a static tree mask
   forward_spec        — middle-model verify over the retrieval cache
                         (reference ``model_verify``, spec=True path)
+  forward_tree_spec   — middle-model grow step over the tree retrieval cache
   draft_forward       — drafter prefill into the StreamingLLM cache
   draft_forward_spec  — drafter speculation at a gamma offset with un-rotated
                         key storage + whole-window re-rotation
@@ -29,9 +40,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, SpecConfig
-from ..cache import (KVCache, RetrievalCache, StreamingCache, append_layer,
-                     read_layer)
-from ..ops.attention import blockwise_attention, causal_from, budget_causal
+from ..cache import KVCache, RetrievalCache, StreamingCache
+from ..ops.attention import append_attention, append_attention_auto
 from ..ops import retrieval as retrieval_ops
 from . import rope
 
@@ -109,8 +119,13 @@ def _logits(cfg: ModelConfig, params, x) -> jnp.ndarray:
                       params["lm_head"].astype(jnp.float32))
 
 
-def _take_layer(layers, l):
-    return jax.tree_util.tree_map(lambda a: a[l], layers)
+def _commit(cache_k, cache_v, new_k, new_v, start):
+    """The single in-place write: new [L, B, H, T, D] stacks into the donated
+    [L, B, H, S, D] cache buffers at slot ``start``."""
+    zero = jnp.zeros((), jnp.int32)
+    idx = (zero, zero, zero, start.astype(jnp.int32), zero)
+    return (jax.lax.dynamic_update_slice(cache_k, new_k, idx),
+            jax.lax.dynamic_update_slice(cache_v, new_v, idx))
 
 
 # ---------------------------------------------------------------------------
@@ -146,55 +161,45 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     if positions is None:
         positions = kv.seq_len + jnp.arange(t)  # modeling_llama.py:345-349
     seq_len0 = kv.seq_len
+    new_mask = jnp.asarray(tree_mask, bool) if tree_mask is not None else None
+    slot_pos = jnp.arange(kv.max_len)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
-    s_max = kv.max_len
-    slot_pos = jnp.arange(s_max)
 
-    if tree_mask is None:
-        mask_fn = causal_from(seq_len0)
-    else:
-        tmask = jnp.asarray(tree_mask, bool)
-
-        def mask_fn(rows, cols):
-            rel = cols - seq_len0
-            in_new = (rel >= 0) & (rel < t)
-            anc = tmask[rows, jnp.clip(rel, 0, t - 1)]
-            return jnp.where(in_new, anc, cols < seq_len0)
-
-    def body(carry, lp):
-        x, ck, cv, l = carry
+    def body(x, xs):
+        lp, k_all, v_all = xs  # read-only cache slabs
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
-        if not cfg.rope_on_slots:
-            # store rotated keys (modeling_llama.py:221-230)
-            k_new = rope.apply_rope(k_new, cos, sin, positions)
-        ck, cv = append_layer(ck, cv, l, k_new, v_new, seq_len0)
-        k_all, v_all = read_layer(ck, cv, l)
+        k_att = rope.apply_rope(k_new, cos, sin, positions)
         if cfg.rope_on_slots:
-            k_all = rope.apply_rope(k_all, cos, sin, slot_pos)
-        ctx = blockwise_attention(q, k_all, v_all, mask_fn)
+            k_cache = rope.apply_rope(k_all, cos, sin, slot_pos)
+            k_store = k_new  # keys stored un-rotated
+        else:
+            k_cache = k_all
+            k_store = k_att  # rotated keys stored (modeling_llama.py:221-230)
+        ctx = append_attention_auto(q, k_cache, v_all, k_att, v_new,
+                                    k_len=seq_len0, new_mask=new_mask)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
-        # when building, stack this layer's rotated query for the second pass
-        ys = q if building else None
-        return (x, ck, cv, l + 1), ys
+        ys = (k_store, v_new, q) if building else (k_store, v_new)
+        return x, ys
 
-    init = (x, kv.k, kv.v, jnp.zeros((), jnp.int32))
-    (x, ck, cv, _), qs = jax.lax.scan(body, init, params["layers"])
+    x, ys = jax.lax.scan(body, x, (params["layers"], kv.k, kv.v))
+    if building:
+        new_k, new_v, qs = ys
+    else:
+        new_k, new_v = ys
 
+    ck, cv = _commit(kv.k, kv.v, new_k, new_v, seq_len0)
     logits = _logits(cfg, params, x)
     kv_out = kv.replace(k=ck, v=cv, seq_len=kv.seq_len + t)
 
     rkv_out = None
     if building:
-        # Second, READ-ONLY scan over the cache stack: slicing the cache as
-        # scan xs (instead of carrying + reading it in the forward scan)
-        # keeps the 2x full-KV HLO temp copies XLA would otherwise insert
-        # for the read-after-write hazard out of HBM — the cache is the
-        # single biggest allocation (64 GB at 7B-128K scale).
+        # Second, READ-ONLY scan over the committed cache stack: slicing the
+        # cache as scan xs keeps it out of any loop carry (memory contract).
         def build_body(_, xs):
             k_l, v_l, q_l = xs
             k_sel, v_sel = retrieval_ops.build_layer(
@@ -213,8 +218,8 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                  rkv: RetrievalCache, kv_seq_len: jnp.ndarray,
                  budget: int) -> Tuple[jnp.ndarray, RetrievalCache]:
-    """Middle-model verify: write the gamma+1 tokens' KV into the retrieval
-    scratch slots and attend over budget + scratch.
+    """Middle-model verify: the gamma+1 tokens attend the budget region plus
+    themselves (causally), and their KV lands in the scratch slots.
     reference: model_verify (graph_infer.py:61-67) -> spec=True attention
     (modeling_llama.py:226-227) + RetrievalCache.update (cache.py:184-189).
     Positions are absolute: ``kv_seq_len + arange(gamma + 1)``
@@ -224,25 +229,25 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     cos, sin = rope.cos_sin_tables(cfg)
     positions = kv_seq_len + jnp.arange(t)
     scratch0 = jnp.asarray(budget, jnp.int32)  # real_budget - (gamma+1)
+    k_len = jnp.asarray(budget, jnp.int32)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
 
-    def body(carry, lp):
-        x, rk, rv, l = carry
+    def body(x, xs):
+        lp, k_all, v_all = xs
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
         k_new = rope.apply_rope(k_new, cos, sin, positions)
-        rk, rv = append_layer(rk, rv, l, k_new, v_new, scratch0)
-        k_all, v_all = read_layer(rk, rv, l)
-        ctx = blockwise_attention(q, k_all, v_all, budget_causal(budget))
+        ctx = append_attention_auto(q, k_all, v_all, k_new, v_new,
+                                    k_len=k_len)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
-        return (x, rk, rv, l + 1), None
+        return x, (k_new, v_new)
 
-    init = (x, rkv.k, rkv.v, jnp.zeros((), jnp.int32))
-    (x, rk, rv, _), _ = jax.lax.scan(body, init, params["layers"])
+    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], rkv.k, rkv.v))
+    rk, rv = _commit(rkv.k, rkv.v, nk, nv, scratch0)
     return _logits(cfg, params, x), rkv.replace(k=rk, v=rv)
 
 
@@ -256,44 +261,47 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     ``input_ids`` [1, T] are the frontier tokens (all of one grow level);
     their KV lands at STATIC scratch slots ``budget + slot_start .. + T``
     (the reference scatters by storage_ids, cache.py:456-463 — here level
-    slots are consecutive in BFS order so the scatter is a static-slice
+    slots are consecutive in BFS order so the scatter is one static-offset
     write). ``depths`` is the static [T] node-depth vector (positions are
-    ``kv_seq_len + depth``, SpecTree_TP.py:134); ``ancestor_mask`` is the
-    static [T, tree_size] ancestor matrix rows of these nodes — a query sees
-    the whole budget region plus its tree ancestors
+    ``kv_seq_len + depth``, SpecTree_TP.py:134); ``ancestor_mask`` the
+    static [T, tree_size] ancestor rows of these nodes: a query sees the
+    whole budget region, its already-written tree ancestors, and itself
     (tensor_op.py:230-272, TP_Attention_Tree_Retrieval).
     """
     b, t = input_ids.shape
-    tree_size = rkv.real_budget - budget
     cos, sin = rope.cos_sin_tables(cfg)
     positions = kv_seq_len + jnp.asarray(depths, jnp.int32)
     amask = jnp.asarray(ancestor_mask, bool)
     write0 = jnp.asarray(budget + slot_start, jnp.int32)
+    k_len = jnp.asarray(budget + slot_start, jnp.int32)
 
-    def mask_fn(rows, cols):
+    # cache part: budget region free, written tree slots per ancestor rows
+    def cache_mask(rows, cols):
         rel = cols - budget
-        in_tree = (rel >= 0) & (rel < tree_size)
-        anc = amask[rows, jnp.clip(rel, 0, tree_size - 1)]
-        return jnp.where(in_tree, anc, cols < budget)
+        in_tree = rel >= 0
+        anc = amask[rows, jnp.clip(rel, 0, amask.shape[1] - 1)]
+        return jnp.where(in_tree, anc, True)
+
+    # new part: frontier nodes are same-level — only self-attention
+    new_mask = jnp.eye(t, dtype=bool)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
 
-    def body(carry, lp):
-        x, rk, rv, l = carry
+    def body(x, xs):
+        lp, k_all, v_all = xs
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
         k_new = rope.apply_rope(k_new, cos, sin, positions)
-        rk, rv = append_layer(rk, rv, l, k_new, v_new, write0)
-        k_all, v_all = read_layer(rk, rv, l)
-        ctx = blockwise_attention(q, k_all, v_all, mask_fn)
+        ctx = append_attention(q, k_all, v_all, k_new, v_new, k_len=k_len,
+                               cache_mask_fn=cache_mask, new_mask=new_mask)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
-        return (x, rk, rv, l + 1), None
+        return x, (k_new, v_new)
 
-    init = (x, rkv.k, rkv.v, jnp.zeros((), jnp.int32))
-    (x, rk, rv, _), _ = jax.lax.scan(body, init, params["layers"])
+    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], rkv.k, rkv.v))
+    rk, rv = _commit(rkv.k, rkv.v, nk, nv, write0)
     return _logits(cfg, params, x), rkv.replace(k=rk, v=rv)
 
 
@@ -305,35 +313,35 @@ def draft_forward(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                   dkv: StreamingCache) -> Tuple[jnp.ndarray, StreamingCache]:
     """Drafter prefill chunk: append at ``seq_len`` with slot positions.
 
-    Keys stored un-rotated; the whole visible window is re-rotated with slot
+    Keys stored un-rotated; the visible window is re-rotated with slot
     indices as positions each forward (modeling_llama_68m.py:164-178).
     Caller must run ``streaming_evict_prefill`` first (graph_infer.py:47).
     """
     assert cfg.rope_on_slots
     b, t = input_ids.shape
     cos, sin = rope.cos_sin_tables(cfg, max_len=dkv.real_budget)
-    positions = dkv.seq_len + jnp.arange(t)
+    positions = dkv.seq_len + jnp.arange(t)  # slot == position here
     seq_len0 = dkv.seq_len
     slot_pos = jnp.arange(dkv.real_budget)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
 
-    def body(carry, lp):
-        x, ck, cv, l = carry
+    def body(x, xs):
+        lp, k_all, v_all = xs
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
-        ck, cv = append_layer(ck, cv, l, k_new, v_new, seq_len0)
-        k_all, v_all = read_layer(ck, cv, l)
-        k_all = rope.apply_rope(k_all, cos, sin, slot_pos)
-        ctx = blockwise_attention(q, k_all, v_all, causal_from(seq_len0))
+        k_cache = rope.apply_rope(k_all, cos, sin, slot_pos)
+        k_att = rope.apply_rope(k_new, cos, sin, positions)
+        ctx = append_attention(q, k_cache, v_all, k_att, v_new,
+                               k_len=seq_len0)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
-        return (x, ck, cv, l + 1), None
+        return x, (k_new, v_new)
 
-    init = (x, dkv.k, dkv.v, jnp.zeros((), jnp.int32))
-    (x, ck, cv, _), _ = jax.lax.scan(body, init, params["layers"])
+    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], dkv.k, dkv.v))
+    ck, cv = _commit(dkv.k, dkv.v, nk, nv, seq_len0)
     return _logits(cfg, params, x), dkv.replace(
         k=ck, v=cv, seq_len=dkv.seq_len + t)
 
@@ -362,21 +370,20 @@ def draft_forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 
     x = jnp.take(params["embed"], input_ids, axis=0)
 
-    def body(carry, lp):
-        x, ck, cv, l = carry
+    def body(x, xs):
+        lp, k_all, v_all = xs
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
-        ck, cv = append_layer(ck, cv, l, k_new, v_new, spec0_arr)
-        k_all, v_all = read_layer(ck, cv, l)
-        k_all = rope.apply_rope(k_all, cos, sin, slot_pos)
-        ctx = blockwise_attention(q, k_all, v_all,
-                                  causal_from(jnp.asarray(spec0, jnp.int32)))
+        k_cache = rope.apply_rope(k_all, cos, sin, slot_pos)
+        k_att = rope.apply_rope(k_new, cos, sin, positions)
+        ctx = append_attention(q, k_cache, v_all, k_att, v_new,
+                               k_len=spec0_arr)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
-        return (x, ck, cv, l + 1), None
+        return x, (k_new, v_new)
 
-    init = (x, dkv.k, dkv.v, jnp.zeros((), jnp.int32))
-    (x, ck, cv, _), _ = jax.lax.scan(body, init, params["layers"])
+    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], dkv.k, dkv.v))
+    ck, cv = _commit(dkv.k, dkv.v, nk, nv, spec0_arr)
     return _logits(cfg, params, x), dkv.replace(k=ck, v=cv)

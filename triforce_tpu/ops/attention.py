@@ -1,37 +1,206 @@
 """Attention ops over static-shape caches.
 
 Replaces ``flash_attn_with_kvcache`` (reference models/modeling_llama.py:240,
-models/tensor_op.py:166) with length-masked attention in pure XLA. XLA fuses
-the softmax chain on TPU; a hand-written Pallas flash-decode kernel lives in
-``ops/flash_decode.py`` for the HBM-bound long-context path and both are
-interchangeable here.
+models/tensor_op.py:166) with online-softmax attention in pure XLA, split
+into PARTIALS (m, l, acc) that can be merged:
+
+  cache part — blockwise over the big read-only KV cache, bounded by a traced
+               ``k_len`` so masked-out blocks are never touched;
+  new part   — the T tokens being appended this call, straight from
+               registers (they are never read back from HBM).
+
+The split is what lets model forwards keep the multi-GB cache OUT of any
+loop-carried/scan-produced buffer (XLA double-buffers those — 2x 64 GB at
+7B-128K scale); it is also the combinator for sequence-sharded flash decode
+(per-shard partials + psum merge, SURVEY.md §5.7). A hand-written Pallas
+flash-decode kernel (ops/flash_decode.py) is a drop-in for the cache part on
+real TPU.
 
 Convention: q is [B, Hq, T, D]; cached K/V are [B, Hkv, S, D]; GQA is handled
-by grouping q heads (no materialised ``repeat_kv`` — reference
-modeling_llama_68m.py:183-184 materialises it; we avoid the copy).
+by grouping q heads (no materialised ``repeat_kv`` — the reference
+materialises it, modeling_llama_68m.py:183-184).
 """
 
 from __future__ import annotations
 
 import math
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _NEG_INF = jnp.float32(-1e30)
 
+Partials = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # m, l, acc
+
+
+def _update(qg, m, l, acc, k_blk, v_blk, valid):
+    """One online-softmax accumulation step over a key block.
+    qg [B,Hkv,G,T,D] f32 (pre-scaled); k/v [B,Hkv,S_blk,D]; valid [T,S_blk].
+    """
+    sc = jnp.einsum("bhgtd,bhsd->bhgts", qg, k_blk.astype(jnp.float32))
+    sc = jnp.where(valid[None, None, None], sc, _NEG_INF)
+    m_new = jnp.maximum(m, sc.max(axis=-1))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(sc - m_new[..., None])
+    l = l * alpha + p.sum(axis=-1)
+    acc = acc * alpha[..., None] + jnp.einsum(
+        "bhgts,bhsd->bhgtd", p, v_blk.astype(jnp.float32))
+    return m_new, l, acc
+
+
+def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       *, k_len=None, mask_fn=None,
+                       block: int = 2048) -> Partials:
+    """Online-softmax partials of q against a (read-only) key/value buffer.
+
+    ``k_len`` (traced i32) masks cols >= k_len and skips whole blocks beyond
+    it; ``mask_fn(rows, cols) -> bool`` adds arbitrary extra masking (tree
+    ancestors etc.). Blocks are fetched with ``dynamic_slice`` — never by
+    reshaping k/v into a scan input, which would materialise a relayouted
+    copy of the whole cache.
+    """
+    b, hq, t, d = q.shape
+    hkv, s = k.shape[1], k.shape[2]
+    g = hq // hkv
+    scale = 1.0 / math.sqrt(d)
+    qg = (q.reshape(b, hkv, g, t, d).astype(jnp.float32)) * scale
+
+    def valid_at(cols):
+        tt, w = cols.shape
+        out = jnp.ones((tt, w), bool)
+        if k_len is not None:
+            out = cols < k_len
+        if mask_fn is not None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tt, w), 0)
+            out = out & mask_fn(rows, cols)
+        return out
+
+    m0 = jnp.full((b, hkv, g, t), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
+    acc0 = jnp.zeros((b, hkv, g, t, d), jnp.float32)
+
+    if s <= block:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+        return _update(qg, m0, l0, acc0, k, v, valid_at(cols))
+
+    nb = s // block            # full blocks; ragged tail handled statically
+    tail = s - nb * block
+    cols0 = jax.lax.broadcasted_iota(jnp.int32, (t, block), 1)
+
+    def body(i, c):
+        m, l, acc = c
+        start = i * block
+        k_blk = jax.lax.dynamic_slice_in_dim(k, start, block, axis=2)
+        v_blk = jax.lax.dynamic_slice_in_dim(v, start, block, axis=2)
+        return _update(qg, m, l, acc, k_blk, v_blk, valid_at(cols0 + start))
+
+    if k_len is None:
+        nb_run = nb
+    else:
+        nb_run = jnp.minimum(
+            (k_len.astype(jnp.int32) + block - 1) // block, nb)
+    m, l, acc = jax.lax.fori_loop(0, nb_run, body, (m0, l0, acc0))
+
+    if tail:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t, tail), 1) + nb * block
+        m, l, acc = _update(qg, m, l, acc, k[:, :, nb * block:],
+                            v[:, :, nb * block:], valid_at(cols))
+    return m, l, acc
+
+
+def new_block_partials(q: jnp.ndarray, k_new: jnp.ndarray,
+                       v_new: jnp.ndarray, new_mask) -> Partials:
+    """Partials of q against the in-register new-token block.
+    new_mask: [T, T_new] bool (True = attend); typically lower-triangular
+    (append causal) or a tree ancestor matrix."""
+    b, hq, t, d = q.shape
+    hkv = k_new.shape[1]
+    g = hq // hkv
+    scale = 1.0 / math.sqrt(d)
+    qg = (q.reshape(b, hkv, g, t, d).astype(jnp.float32)) * scale
+    m0 = jnp.full((b, hkv, g, t), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
+    acc0 = jnp.zeros((b, hkv, g, t, d), jnp.float32)
+    return _update(qg, m0, l0, acc0, k_new, v_new, jnp.asarray(new_mask))
+
+
+def merge_partials(a: Partials, b: Partials) -> Partials:
+    """Associative combine of online-softmax partials — the same op that
+    ``psum``s per-shard partials in sequence-sharded decode."""
+    m1, l1, acc1 = a
+    m2, l2, acc2 = b
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m)
+    a2 = jnp.exp(m2 - m)
+    return m, l1 * a1 + l2 * a2, acc1 * a1[..., None] + acc2 * a2[..., None]
+
+
+def finalize(p: Partials, out_dtype) -> jnp.ndarray:
+    m, l, acc = p
+    b, hkv, g, t, d = acc.shape
+    out = acc / jnp.maximum(l, 1e-37)[..., None]
+    return out.reshape(b, hkv * g, t, d).astype(out_dtype)
+
+
+def append_attention(q, k_cache, v_cache, k_new, v_new, *, k_len,
+                     cache_mask_fn=None, new_mask=None,
+                     block: int = 2048) -> jnp.ndarray:
+    """Attention of T new tokens against [valid cache prefix] + [themselves].
+
+    The cache is strictly read-only here; the caller commits (k_new, v_new)
+    to the cache with one top-level dynamic_update_slice afterwards. This is
+    the load-bearing memory contract: the multi-GB cache is only ever
+    touched by (a) read-only block fetches and (b) one in-place DUS on a
+    donated buffer — no loop-carried aliases for XLA to double-buffer.
+    """
+    t = q.shape[2]
+    tn = k_new.shape[2]
+    if new_mask is None:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (t, tn), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t, tn), 1)
+        new_mask = cols <= rows
+    pc = attention_partials(q, k_cache, v_cache, k_len=k_len,
+                            mask_fn=cache_mask_fn, block=block)
+    pn = new_block_partials(q, k_new, v_new, new_mask)
+    return finalize(merge_partials(pc, pn), q.dtype)
+
+
+def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
+                          cache_mask_fn=None, new_mask=None,
+                          block: int = 2048) -> jnp.ndarray:
+    """Dispatch to the Pallas flash-decode kernel when eligible (TPU backend,
+    B=1, no extra cache mask, cache length a multiple of the DMA block),
+    else the portable XLA path. ``TRIFORCE_NO_PALLAS=1`` disables the
+    kernel."""
+    import os
+    s = k_cache.shape[2]
+    use_pallas = (
+        cache_mask_fn is None and q.shape[0] == 1
+        and s % 512 == 0 and s >= 2048
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("TRIFORCE_NO_PALLAS"))
+    if use_pallas:
+        from .flash_decode import append_attention_pallas
+        return append_attention_pallas(q, k_cache, v_cache, k_new, v_new,
+                                       k_len=k_len, new_mask=new_mask)
+    return append_attention(q, k_cache, v_cache, k_new, v_new, k_len=k_len,
+                            cache_mask_fn=cache_mask_fn, new_mask=new_mask,
+                            block=block)
+
+
+# ---------------------------------------------------------------------------
+# Whole-buffer variants (tests / small paths)
+# ---------------------------------------------------------------------------
 
 def masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      mask: jnp.ndarray) -> jnp.ndarray:
     """q [B,Hq,T,D], k/v [B,Hkv,S,D], mask [T,S] bool (True = attend).
-
-    fp32 softmax (flash-attn also accumulates in fp32), output in q.dtype.
-    """
+    fp32 softmax (flash-attn also accumulates in fp32), output in q.dtype."""
     b, hq, t, d = q.shape
     hkv = k.shape[1]
     g = hq // hkv
     scale = 1.0 / math.sqrt(d)
-
     qg = q.reshape(b, hkv, g, t, d)
     scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k,
                         preferred_element_type=jnp.float32) * scale
@@ -42,12 +211,19 @@ def masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, hq, t, d).astype(q.dtype)
 
 
+def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        mask_fn, block: int = 2048,
+                        k_len=None) -> jnp.ndarray:
+    """Full attention over one buffer via partials (portable fallback +
+    CPU-test surface)."""
+    p = attention_partials(q, k, v, k_len=k_len, mask_fn=mask_fn,
+                           block=block)
+    return finalize(p, q.dtype)
+
+
 def append_mask(t: int, s_max: int, seq_len: jnp.ndarray) -> jnp.ndarray:
     """Causal mask for T tokens appended at slot ``seq_len`` of an S_max-slot
-    cache: query i attends slots [0, seq_len + i]. (Covers prefill, AR decode
-    and full-cache verify — reference relies on flash-attn's end-aligned
-    causal mode for all three.)
-    """
+    cache: query i attends slots [0, seq_len + i]."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, s_max), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (t, s_max), 1)
     return cols <= seq_len + rows
@@ -56,20 +232,14 @@ def append_mask(t: int, s_max: int, seq_len: jnp.ndarray) -> jnp.ndarray:
 def spec_mask(t: int, real_budget: int, budget: int) -> jnp.ndarray:
     """Mask for middle-model speculative verify over the retrieval cache:
     budget slots always visible, scratch slot j visible to query i iff j <= i
-    (end-aligned causal within the gamma+1 scratch region).
-    reference semantics: flash causal over [budget + gamma + 1] slots with
-    q_len = gamma + 1 (models/modeling_llama.py:226-240, cache.py:184-189).
-    """
+    (end-aligned causal within the gamma+1 scratch region)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, real_budget), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (t, real_budget), 1)
     return (cols < budget) | (cols - budget <= rows)
 
 
 def causal_from(base):
-    """Mask factory: query row i attends key slots [0, base + i] — the
-    end-aligned causal layout shared by prefill, AR decode, full-cache verify
-    and drafter windows (``base`` = tokens already cached before this call).
-    """
+    """Mask factory: query row i attends key slots [0, base + i]."""
     def fn(rows, cols):
         return cols <= base + rows
     return fn
@@ -80,62 +250,3 @@ def budget_causal(budget: int):
     def fn(rows, cols):
         return (cols < budget) | (cols - budget <= rows)
     return fn
-
-
-def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                        mask_fn, block: int = 2048) -> jnp.ndarray:
-    """Flash-style online-softmax attention, scanned over key blocks in pure
-    XLA so the [T, S] score matrix is never materialised (S can be 128K+).
-
-    q [B,Hq,T,D]; k/v [B,Hkv,S,D]; ``mask_fn(rows, cols) -> bool`` with
-    absolute row/col indices. The Pallas kernel in ``ops/flash_decode.py``
-    is a drop-in replacement on real TPU; this version is the portable
-    reference/fallback and what CPU tests run.
-    """
-    b, hq, t, d = q.shape
-    hkv, s = k.shape[1], k.shape[2]
-    g = hq // hkv
-    scale = 1.0 / math.sqrt(d)
-
-    if s <= block:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
-        return masked_attention(q, k, v, mask_fn(rows, cols))
-
-    nb = -(-s // block)
-    s_pad = nb * block
-    if s_pad != s:
-        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-
-    qg = (q.reshape(b, hkv, g, t, d).astype(jnp.float32)) * scale
-    k_blocks = k.reshape(b, hkv, nb, block, d).transpose(2, 0, 1, 3, 4)
-    v_blocks = v.reshape(b, hkv, nb, block, d).transpose(2, 0, 1, 3, 4)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (t, block), 0)
-    cols0 = jax.lax.broadcasted_iota(jnp.int32, (t, block), 1)
-
-    def body(carry, xs):
-        m, l, acc, blk = carry[0], carry[1], carry[2], carry[3]
-        k_blk, v_blk = xs
-        cols = cols0 + blk * block
-        valid = mask_fn(rows, cols) & (cols < s)
-        sc = jnp.einsum("bhgtd,bhsd->bhgts", qg, k_blk.astype(jnp.float32))
-        sc = jnp.where(valid[None, None, None], sc, _NEG_INF)
-        m_new = jnp.maximum(m, sc.max(axis=-1))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(sc - m_new[..., None])
-        l = l * alpha + p.sum(axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum(
-            "bhgts,bhsd->bhgtd", p, v_blk.astype(jnp.float32))
-        return (m_new, l, acc, blk + 1), None
-
-    m0 = jnp.full((b, hkv, g, t), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
-    acc0 = jnp.zeros((b, hkv, g, t, d), jnp.float32)
-    (m, l, acc, _), _ = jax.lax.scan(
-        body, (m0, l0, acc0, jnp.zeros((), jnp.int32)), (k_blocks, v_blocks))
-
-    out = acc / jnp.maximum(l, 1e-37)[..., None]
-    return out.reshape(b, hq, t, d).astype(q.dtype)

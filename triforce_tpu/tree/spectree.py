@@ -249,7 +249,8 @@ def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
                          sampling.sample(ks, final_p).astype(jnp.int32))
 
     # --- commit: compact accepted path + retrieval tail refresh ----------
-    kv = gather_kv_incremental(kv, accept_idx, n_nodes, seq0, max_path)
+    kv = gather_kv_incremental(kv, accept_idx, n_nodes, seq0, max_path,
+                               max_span=gm.size)
     spec_like = SpecConfig(budget=budget, chunk_size=1)
     rkv = retrieval_tail_refresh(rkv, kv, spec_like, prefill, seq0,
                                  max_new=max_path)
