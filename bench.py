@@ -62,7 +62,7 @@ def build_engine(preset: str, args):
     jax.block_until_ready(params)
     log(f"[bench] params initialised in {time.perf_counter() - t0:.1f}s")
     engine = Engine(cfg, spec, params, prefill=prefill,
-                    max_cache_len=prefill + 2 * (gen_len + spec.gamma + 2),
+                    max_cache_len=prefill + 3 * (gen_len + spec.gamma + 2),
                     dtype=dtype, prefill_chunk=args.prefill_chunk)
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, prefill), 0,
                              cfg.vocab_size)
@@ -74,25 +74,27 @@ def timed_prefill(engine, ids, seed):
     t0 = time.perf_counter()
     state = engine.init_state(jax.random.PRNGKey(seed))
     state = engine.prefill_target(state, ids)
-    jax.block_until_ready(state)
+    _ = int(state.next_token[0])  # host readback: the tunnel's
+    # block_until_ready resolves before device completion, so only a value
+    # fetch marks the real end of the prefill
     dt = time.perf_counter() - t0
     log(f"[bench] prefill({ids.shape[1]}) in {dt:.1f}s "
         f"({ids.shape[1] / dt:.0f} tok/s)")
     return state, dt
 
 
-def run_ar(engine, ids, gen_len, warmup=3):
-    """Autoregressive baseline tokens/s (reference decoding.py:14-37)."""
-    import jax
+def run_ar(engine, ids, gen_len):
+    """Autoregressive baseline tokens/s: whole token loop is one device
+    dispatch (reference decoding.py:14-37 pays a host sync per token)."""
     state, prefill_s = timed_prefill(engine, ids, seed=0)
     kv, token, key = state.kv, state.next_token, state.key
-    for _ in range(warmup):
-        token, kv, key = engine.ar_step(engine.t_params, kv, token, key)
-    jax.block_until_ready(token)
+    # warmup dispatch compiles the fori_loop program; its state feeds the
+    # timed run, so the timed call can never be a memoized replay
+    kv, token, key, buf = engine.generate_ar(kv, token, key, gen_len)
+    _ = int(buf[-1])
     t0 = time.perf_counter()
-    for _ in range(gen_len):
-        token, kv, key = engine.ar_step(engine.t_params, kv, token, key)
-    jax.block_until_ready(token)
+    kv, token, key, buf = engine.generate_ar(kv, token, key, gen_len)
+    _ = int(buf[-1])
     dt = time.perf_counter() - t0
     del kv, state
     tps = gen_len / dt
@@ -101,32 +103,31 @@ def run_ar(engine, ids, gen_len, warmup=3):
             "prefill_s": prefill_s}
 
 
-def run_spec(engine, ids, gen_len, warmup=2):
-    """Retrieval self-speculation decode tokens/s (BASELINE.json config 2)."""
-    import jax
+def run_spec(engine, ids, gen_len):
+    """Retrieval self-speculation decode tokens/s (BASELINE.json config 2);
+    whole generation is one device dispatch."""
+    import numpy as np
     state, prefill_s = timed_prefill(engine, ids, seed=0)
-    for _ in range(warmup):
-        state, stats = engine.retrieval_spec_step(state)
-    jax.block_until_ready(state)
-
-    n = steps = accepted = proposed = 0
+    state, buf, n, counters, _ = engine.generate(
+        state, gen_len, mode="retrieval")
+    _ = int(n)  # warmup + compile
     t0 = time.perf_counter()
-    while n < gen_len:
-        state, stats = engine.retrieval_spec_step(state)
-        n += int(stats.n_emitted)
-        accepted += int(stats.accepted)
-        proposed += int(stats.gamma2)
-        steps += 1
-    jax.block_until_ready(state)
+    state, buf, n, counters, _ = engine.generate(state, gen_len,
+                                                 mode="retrieval")
+    n = int(n)
+    counters = np.asarray(counters)
     dt = time.perf_counter() - t0
     del state
-    tps = n / dt
+    steps, accepted, proposed = (int(counters[0]), int(counters[1]),
+                                 int(counters[2]))
+    gen = n - 1
+    tps = gen / dt
     acc = accepted / max(proposed, 1)
     log(f"[bench] retrieval-spec: {tps:.2f} tok/s "
-        f"({1e3 * dt / n:.1f} ms/token), acceptance {acc:.3f}, "
-        f"{n / steps:.2f} tok/step")
-    return {"tokens_per_sec": tps, "ms_per_token": 1e3 * dt / n,
-            "acceptance_rate": acc, "tokens_per_step": n / steps,
+        f"({1e3 * dt / max(gen, 1):.1f} ms/token), acceptance {acc:.3f}, "
+        f"{gen / max(steps, 1):.2f} tok/step")
+    return {"tokens_per_sec": tps, "ms_per_token": 1e3 * dt / max(gen, 1),
+            "acceptance_rate": acc, "tokens_per_step": gen / max(steps, 1),
             "prefill_s": prefill_s}
 
 

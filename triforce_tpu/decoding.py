@@ -38,88 +38,69 @@ class DecodeResult:
 def autoregressive(engine: Engine, input_ids: jnp.ndarray, max_len: int = 256,
                    seed: int = 0, verbose: bool = False,
                    tokenizer=None) -> DecodeResult:
-    """Plain AR decoding baseline. reference: decoding.py:14-37."""
+    """Plain AR decoding baseline: prefill, then ONE device dispatch running
+    the whole token loop (lax.fori_loop). reference: decoding.py:14-37 (which
+    pays a host sync per token; here the host reads back once).
+    """
     state = engine.init_state(jax.random.PRNGKey(seed))
     kv = state.kv
     sp = engine.spec
-    logits = None
     c = engine.prefill_chunk
-    n_full = input_ids.shape[1] // c
-    for i in range(n_full):
-        logits, kv = engine._prefill_t(engine.t_params,
-                                       input_ids[:, i * c:(i + 1) * c], kv)
-    rem = input_ids.shape[1] - n_full * c
+    p = input_ids.shape[1]
+    n_full = max(p - 1, 0) // c
+    bodyids = input_ids[:, :-1]
+    if n_full:
+        chunks = bodyids[:, :n_full * c].reshape(1, n_full, c).transpose(
+            1, 0, 2)
+        kv = engine._prefill_scan(engine.t_params, chunks, kv)
+    rem = bodyids.shape[1] - n_full * c
     if rem:
-        logits, kv = engine._prefill_t(engine.t_params, input_ids[:, -rem:],
-                                       kv)
+        _, kv = engine._prefill_t(engine.t_params, bodyids[:, -rem:], kv)
+    logits, kv = engine._prefill_t(engine.t_params, input_ids[:, -1:], kv)
     key, k2 = jax.random.split(state.key)
     probs = sampling.norm_logits(logits[:, -1], sp.temperature, sp.top_k,
                                  sp.top_p)
     token = sampling.sample(k2, probs)
 
-    out = [int(token[0])]
-    if verbose:
-        spec_stream(out[-1], tokenizer, "cyan")
-    token.block_until_ready()
+    first = int(token[0])  # host readback = prefill fully done
     t0 = time.perf_counter()
-    n = 0
-    while n < max_len:
-        token, kv, key = engine.ar_step(engine.t_params, kv, token, key)
-        n += 1
-        if verbose:
-            spec_stream(int(token[0]), tokenizer, "cyan")
-            out.append(int(token[0]))
-    token.block_until_ready()
+    kv, token, key, buf = engine.generate_ar(kv, token, key, max_len)
+    toks = np.asarray(buf).tolist()  # host readback = generation done
     t1 = time.perf_counter()
-    return DecodeResult(tokens=out, tokens_per_sec=n / (t1 - t0),
-                        steps=n, wall_s=t1 - t0)
+    out = [first] + toks
+    if verbose:
+        for t in out:
+            spec_stream(t, tokenizer, "cyan")
+    return DecodeResult(tokens=out, tokens_per_sec=max_len / (t1 - t0),
+                        steps=max_len, wall_s=t1 - t0)
 
 
-def _run_spec_loop(engine: Engine, state: TriForceState, step_fn,
+def _run_spec_loop(engine: Engine, state: TriForceState, mode: str,
                    max_len: int, verbose: bool, tokenizer,
                    stop_on_eos: bool) -> DecodeResult:
-    sp = engine.spec
-    out: List[int] = [int(state.next_token[0])]
-    if verbose:
-        spec_stream(out[-1], tokenizer, "cyan")
-
-    n = 0
-    steps = 0
-    accepted = resampled = bonus = draft_count = 0
-    mid_draft = mid_accept = 0
-    jax.block_until_ready(state)
+    """Whole generation = ONE device dispatch; host reads the token buffer
+    and aggregated counters back once at the end."""
+    first = int(state.next_token[0])  # readback: prefill complete
     t0 = time.perf_counter()
-    while n < max_len:
-        state, stats = step_fn(state)
-        steps += 1
-        ne = int(stats.n_emitted)
-        toks = np.asarray(stats.tokens)[:ne].tolist()
-        out.extend(toks)
-        n += ne
-        g2 = int(stats.gamma2)
-        acc = int(stats.accepted)
-        accepted += acc
-        draft_count += g2
-        if bool(stats.eos) and acc < g2:
-            # reference corrects draft_count when EOS cut the chain short
-            # (decoding.py:108-110)
-            draft_count -= g2 - acc
-        resampled += int(stats.resampled)
-        bonus += int(stats.bonus)
-        mid_draft += int(stats.mid_draft)
-        mid_accept += int(stats.mid_accept)
-        if verbose:
-            for t in toks:
-                spec_stream(t, tokenizer, "green")
-        if stop_on_eos and bool(stats.eos):
-            break
-    jax.block_until_ready(state)
+    state, buf, n, counters, _ = engine.generate(state, max_len, mode=mode,
+                                                 stop_on_eos=stop_on_eos)
+    toks = np.asarray(buf)
+    n = int(n)
+    counters = np.asarray(counters)
     t1 = time.perf_counter()
 
-    acc_rate = accepted / max(draft_count, 1)
+    out = toks[:n].tolist()
+    assert out[0] == first
+    steps, accepted, proposed, resampled, bonus, mid_draft, mid_accept = (
+        int(x) for x in counters)
+    if verbose:
+        for t in out:
+            spec_stream(t, tokenizer, "green")
+    gen = n - 1  # tokens produced by speculation steps (buf[0] is prefill's)
     return DecodeResult(
-        tokens=out, tokens_per_sec=n / (t1 - t0), acceptance_rate=acc_rate,
-        avg_tokens_per_step=n / max(steps, 1),
+        tokens=out, tokens_per_sec=gen / (t1 - t0),
+        acceptance_rate=accepted / max(proposed, 1),
+        avg_tokens_per_step=gen / max(steps, 1),
         middle_acceptance_rate=mid_accept / max(mid_draft, 1),
         steps=steps, wall_s=t1 - t0)
 
@@ -132,7 +113,7 @@ def triforce(engine: Engine, input_ids: jnp.ndarray, max_len: int = 256,
     state = engine.init_state(jax.random.PRNGKey(seed))
     state = engine.prefill_target(state, input_ids)
     state = engine.prefill_draft(state, input_ids, mode=draft_prefill_mode)
-    return _run_spec_loop(engine, state, engine.triforce_step, max_len,
+    return _run_spec_loop(engine, state, "triforce", max_len,
                           verbose, tokenizer, stop_on_eos)
 
 
@@ -143,5 +124,5 @@ def retrieval_spec(engine: Engine, input_ids: jnp.ndarray, max_len: int = 256,
     full-cache target verifies (lossless; no drafter level)."""
     state = engine.init_state(jax.random.PRNGKey(seed))
     state = engine.prefill_target(state, input_ids)
-    return _run_spec_loop(engine, state, engine.retrieval_spec_step, max_len,
+    return _run_spec_loop(engine, state, "retrieval", max_len,
                           verbose, tokenizer, stop_on_eos)

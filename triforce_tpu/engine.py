@@ -127,6 +127,17 @@ class Engine:
                 return llama.draft_forward(dcfg, params, ids, dkv)
             self._prefill_d = jax.jit(_prefill_d, donate_argnums=_dn(2))
 
+            def _prefill_d_scan(params, chunks, dkv):
+                def sbody(dkv, ids):
+                    dkv = streaming_evict_prefill(dkv, sp,
+                                                  self.draft_prefill_chunk)
+                    _, dkv = llama.draft_forward(dcfg, params, ids, dkv)
+                    return dkv, None
+                dkv, _ = jax.lax.scan(sbody, dkv, chunks)
+                return dkv
+            self._prefill_d_scan = jax.jit(_prefill_d_scan,
+                                           donate_argnums=_dn(2))
+
         self._triforce_step = jax.jit(
             functools.partial(_triforce_step, cfg, draft_cfg, sp,
                               self.prefill, eos_token_id),
@@ -135,6 +146,82 @@ class Engine:
             functools.partial(_retrieval_spec_step, cfg, sp, self.prefill,
                               eos_token_id),
             donate_argnums=_dn(1))
+
+        # --- whole-prefill scan: one XLA program for all full chunks -------
+        def _prefill_scan(params, chunks, kv):
+            def sbody(kv, ids):
+                _, kv, _ = llama.forward_append(cfg, params, ids, kv,
+                                                need_logits=False)
+                return kv, None
+            kv, _ = jax.lax.scan(sbody, kv, chunks)
+            return kv
+        self._prefill_scan = jax.jit(_prefill_scan, donate_argnums=_dn(2))
+
+        # --- whole-generation loops: ONE dispatch per generation -----------
+        # (the host-side per-step loop pays a tunnel/dispatch round trip per
+        # step; the device-side lax.while_loop pays zero — the CUDA-graph
+        # idea taken to its limit)
+        def _gen(step_fn, max_len, stop_on_eos, slack, *args):
+            state = args[-1]
+            buf = jnp.full((max_len + slack,), JUNK_TOKEN, jnp.int32)
+            buf = buf.at[0].set(state.next_token[0])
+            counters0 = jnp.zeros((7,), jnp.int32)
+
+            def cond(c):
+                state, buf, n, counters, stop = c
+                return (n < max_len + 1) & ~stop
+
+            def body(c):
+                state, buf, n, counters, stop = c
+                state, stats = step_fn(*args[:-1], state)
+                buf = jax.lax.dynamic_update_slice(buf, stats.tokens, (n,))
+                n = n + stats.n_emitted
+                counters = counters + jnp.stack([
+                    jnp.int32(1), stats.accepted, stats.gamma2,
+                    stats.resampled, stats.bonus, stats.mid_draft,
+                    stats.mid_accept])
+                stop = stats.eos if stop_on_eos else jnp.bool_(False)
+                return state, buf, n, counters, stop
+
+            return jax.lax.while_loop(
+                cond, body,
+                (state, buf, jnp.int32(1), counters0, jnp.bool_(False)))
+
+        def _gen_triforce(max_len, stop_on_eos, t_params, d_params, state):
+            return _gen(functools.partial(_triforce_step, cfg, draft_cfg, sp,
+                                          self.prefill, eos_token_id),
+                        max_len, stop_on_eos, sp.gamma + 2,
+                        t_params, d_params, state)
+
+        def _gen_retrieval(max_len, stop_on_eos, t_params, state):
+            return _gen(functools.partial(_retrieval_spec_step, cfg, sp,
+                                          self.prefill, eos_token_id),
+                        max_len, stop_on_eos, sp.gamma + 2,
+                        t_params, state)
+
+        def _gen_ar(max_len, params, kv, token, key):
+            buf = jnp.full((max_len,), JUNK_TOKEN, jnp.int32)
+
+            def body(i, c):
+                kv, token, key, buf = c
+                logits, kv, _ = llama.forward_append(cfg, params,
+                                                     token[:, None], kv)
+                probs = sampling.norm_logits(logits[:, -1], sp.temperature,
+                                             sp.top_k, sp.top_p)
+                key, k2 = jax.random.split(key)
+                token = sampling.sample(k2, probs)
+                return kv, token, key, buf.at[i].set(token[0])
+
+            kv, token, key, buf = jax.lax.fori_loop(
+                0, max_len, body, (kv, token, key, buf))
+            return kv, token, key, buf
+
+        self._gen_triforce = jax.jit(
+            _gen_triforce, static_argnums=(0, 1), donate_argnums=_dn(4))
+        self._gen_retrieval = jax.jit(
+            _gen_retrieval, static_argnums=(0, 1), donate_argnums=_dn(3))
+        self._gen_ar = jax.jit(_gen_ar, static_argnums=(0,),
+                               donate_argnums=_dn(2))
 
     # ------------------------------------------------------------------
     # state construction / prefill drivers (host loops over jitted chunks)
@@ -167,13 +254,13 @@ class Engine:
         kv, rkv = state.kv, state.rkv
         body, c = input_ids[:, :-1], self.prefill_chunk
         n_full = body.shape[1] // c
-        logits = None
-        for i in range(n_full):
-            logits, kv = self._prefill_t(self.t_params,
-                                         body[:, i * c:(i + 1) * c], kv)
+        if n_full:
+            chunks = body[:, :n_full * c].reshape(1, n_full, c).transpose(
+                1, 0, 2)
+            kv = self._prefill_scan(self.t_params, chunks, kv)
         rem = body.shape[1] - n_full * c
         if rem:
-            logits, kv = self._prefill_t(self.t_params, body[:, -rem:], kv)
+            _, kv = self._prefill_t(self.t_params, body[:, -rem:], kv)
         logits, kv, rkv = self._build(self.t_params, input_ids[:, -1:], kv,
                                       rkv)
         probs = sampling.norm_logits(logits[:, -1], self.spec.temperature,
@@ -203,9 +290,11 @@ class Engine:
                     [input_ids[:, :c], input_ids[:, -(keep - c):]], axis=1)
         dkv = state.dkv
         n = input_ids.shape[1]
-        for i in range(0, n - n % c, c):
-            _, dkv = self._prefill_d(self.d_params, input_ids[:, i:i + c],
-                                     dkv)
+        n_full = n // c
+        if n_full:
+            chunks = input_ids[:, :n_full * c].reshape(1, n_full, c)
+            chunks = chunks.transpose(1, 0, 2)
+            dkv = self._prefill_d_scan(self.d_params, chunks, dkv)
         if n % c:
             rem = n % c
             dkv = streaming_evict_prefill(dkv, sp, c)
@@ -220,6 +309,24 @@ class Engine:
 
     def ar_step(self, params, kv, token, key):
         return self._ar_step(params, kv, token, key)
+
+    def generate(self, state: TriForceState, max_len: int,
+                 mode: str = "triforce", stop_on_eos: bool = False):
+        """Whole generation as ONE device dispatch (lax.while_loop over
+        fused speculation steps). Returns (state, token_buf, n, counters)
+        with counters = [steps, accepted, proposed, resampled, bonus,
+        mid_draft, mid_accept]."""
+        if mode == "triforce":
+            return self._gen_triforce(max_len, stop_on_eos, self.t_params,
+                                      self.d_params, state)
+        if mode == "retrieval":
+            return self._gen_retrieval(max_len, stop_on_eos, self.t_params,
+                                       state)
+        raise ValueError(mode)
+
+    def generate_ar(self, kv, token, key, max_len: int):
+        """Autoregressive generation as one dispatch."""
+        return self._gen_ar(max_len, self.t_params, kv, token, key)
 
     def triforce_step(self, state: TriForceState):
         return self._triforce_step(self.t_params, self.d_params, state)

@@ -137,7 +137,7 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                    positions: Optional[jnp.ndarray] = None,
                    build_rkv: Optional[RetrievalCache] = None,
                    prefill: int = 0, chunk_size: int = 8, budget: int = 0,
-                   tree_mask=None,
+                   tree_mask=None, need_logits: bool = True,
                    ) -> Tuple[jnp.ndarray, KVCache, Optional[RetrievalCache]]:
     """Append ``T`` tokens to the full cache and attend causally over it.
 
@@ -151,6 +151,9 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     prefix plus its tree ancestors (reference SpecTree verify,
     utils/SpecTree_TP.py:168-173); ``positions`` must then be the per-node
     depths offset by ``seq_len``.
+
+    ``need_logits=False`` skips the lm_head projection (prefill chunks whose
+    logits nobody reads — T x hidden x vocab matmuls saved per chunk).
     """
     b, t = input_ids.shape
     building = build_rkv is not None
@@ -193,7 +196,7 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         new_k, new_v = ys
 
     ck, cv = _commit(kv.k, kv.v, new_k, new_v, seq_len0)
-    logits = _logits(cfg, params, x)
+    logits = _logits(cfg, params, x) if need_logits else None
     kv_out = kv.replace(k=ck, v=cv, seq_len=kv.seq_len + t)
 
     rkv_out = None

@@ -3,17 +3,26 @@ huge KV cache, fused with the in-register new-token block.
 
 This is the hot op of the whole framework — the reference's
 ``flash_attn_with_kvcache`` (models/modeling_llama.py:240) — re-designed for
-TPU: per KV head, key/value blocks are streamed HBM -> VMEM with
-double-buffered async DMA, the trip count is the TRACED ``ceil(k_len /
-block)`` so only the live prefix of the cache is ever read (the XLA
-fallback in ops/attention.py has the same property via fori_loop), scores
-run on the MXU in fp32, and the online-softmax state never leaves VMEM.
-Decode at 128K context is pure HBM bandwidth; this kernel's job is to keep
-the DMA engines saturated while the VPU/MXU hide under them.
+TPU. Decode at 128K context is pure HBM bandwidth, so the kernel is shaped
+around the DMA stream, not the FLOPs:
+
+  * grid iterates over SEQUENCE blocks; each block fetch is one
+    [Hkv, block, D] slab (megabytes per DMA, all heads at once) — big
+    enough to be throughput-bound, auto-double-buffered by the Pallas
+    pipeline;
+  * the traced ``k_len`` enters through scalar prefetch: the index map
+    clamps the block index at ``ceil(k_len/block) - 1``, and Pallas elides
+    refetches of an unchanged block, so the pipeline reads EXACTLY the live
+    prefix of the cache — rollback semantics for free, no wasted bandwidth;
+  * online-softmax state (m, l, acc) lives in VMEM scratch across grid
+    steps (TPU grids are sequential); the tiny new-token block (the tokens
+    being appended this forward, which must attend themselves) is folded in
+    at the final step so their KV never round-trips through HBM;
+  * scores/accumulation run on the MXU in fp32 via per-head matmuls.
 
 Layout contract (B = 1): q [Hkv, G*T, D]; k/v [Hkv, S, D] with S a multiple
-of ``block``; k_new/v_new [Hkv, T, D]; new_mask [G*T, T] bool. Output
-[Hkv, G*T, D] fp32.
+of ``block``; k_new/v_new [Hkv, Tn, D]; bias [G*T, Tn] (0 keep / -1e30
+mask). Output [Hkv, G*T, D] fp32.
 """
 
 from __future__ import annotations
@@ -29,80 +38,57 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30  # python float: jnp scalars become captured consts in pallas
 
 
-def _kernel(klen_ref, q_ref, knew_ref, vnew_ref, nmask_ref, k_hbm, v_hbm,
-            o_ref, k_buf, v_buf, sem, *, block: int, scale: float):
-    h = pl.program_id(0)
+def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, k_ref, v_ref, o_ref,
+            m_sc, l_sc, acc_sc, *, block: int, scale: float):
+    i = pl.program_id(0)
     k_len = klen_ref[0]
-    gt, d = q_ref.shape[1], q_ref.shape[2]
-    tn = knew_ref.shape[1]
-    q = q_ref[0].astype(jnp.float32) * scale          # [GT, D]
-    nb = pl.cdiv(k_len, block)
+    nb = pl.cdiv(k_len, block)          # live blocks (may be 0)
+    hkv, gt, d = q_ref.shape
 
-    def k_dma(slot, i):
-        return pltpu.make_async_copy(
-            k_hbm.at[h, pl.ds(i * block, block)], k_buf.at[slot],
-            sem.at[slot, 0])
-
-    def v_dma(slot, i):
-        return pltpu.make_async_copy(
-            v_hbm.at[h, pl.ds(i * block, block)], v_buf.at[slot],
-            sem.at[slot, 1])
-
-    @pl.when(nb > 0)
+    @pl.when(i == 0)
     def _():
-        k_dma(0, 0).start()
-        v_dma(0, 0).start()
+        m_sc[:] = jnp.full_like(m_sc, _NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    cols0 = jax.lax.broadcasted_iota(jnp.int32, (gt, block), 1)
-
-    def body(i, carry):
-        m, l, acc = carry
-        slot = i % 2
-
-        @pl.when(i + 1 < nb)
-        def _():
-            k_dma((i + 1) % 2, i + 1).start()
-            v_dma((i + 1) % 2, i + 1).start()
-
-        k_dma(slot, i).wait()
-        v_dma(slot, i).wait()
-
-        k_blk = k_buf[slot].astype(jnp.float32)       # [block, D]
-        v_blk = v_buf[slot].astype(jnp.float32)
+    @pl.when(i < nb)
+    def _():
+        base = i * block
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, gt, block), 2) + base
+        valid = cols < k_len
+        # batched over heads (bf16 operands, f32 accumulation): per-head
+        # M = G*T rows is tiny (1 for MHA decode), so per-head matmuls are
+        # degenerate — the batched form keeps all heads in flight
         sc = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # [GT, block]
-        valid = cols0 + i * block < k_len
+            q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [Hkv, GT, block]
         sc = jnp.where(valid, sc, _NEG_INF)
+        m = m_sc[:]
         m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(sc - m_new)
-        l = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+        l_sc[:] = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
+        acc_sc[:] = acc_sc[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [Hkv, GT, D]
+        m_sc[:] = m_new
+
+    # finalize on the last grid step (nb == 0 finalizes at i == 0)
+    @pl.when(i == jnp.maximum(nb - 1, 0))
+    def _():
+        sc = jax.lax.dot_general(
+            q_ref[:], kn_ref[:], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [Hkv, GT, Tn]
+        sc = sc + bias_ref[:, :][None]
+        m = m_sc[:]
+        m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(sc - m_new)
+        l = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
+        acc = acc_sc[:] * alpha + jax.lax.dot_general(
+            p.astype(vn_ref.dtype), vn_ref[:], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        return m_new, l, acc
-
-    m0 = jnp.full((gt, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((gt, 1), jnp.float32)
-    acc0 = jnp.zeros((gt, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
-
-    # --- fused new-token block (never touches HBM) ----------------------
-    kn = knew_ref[0].astype(jnp.float32)              # [Tn, D]
-    vn = vnew_ref[0].astype(jnp.float32)
-    sc = jax.lax.dot_general(q, kn, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    sc = jnp.where(nmask_ref[:, :] != 0, sc, _NEG_INF)
-    m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
-    alpha = jnp.exp(m - m_new)
-    p = jnp.exp(sc - m_new)
-    l = l * alpha + p.sum(axis=-1, keepdims=True)
-    acc = acc * alpha + jax.lax.dot_general(
-        p, vn, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    o_ref[0] = acc / jnp.maximum(l, 1e-37)
+        o_ref[:] = acc / jnp.maximum(l, 1e-37)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -120,39 +106,60 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
     tn = k_new.shape[1]
     assert s % block == 0, (s, block)
     scale = 1.0 / math.sqrt(d)
+    nb_max = s // block
+
+    # Mosaic rejects the 1-lane tail ops a tiny new block produces (decode
+    # has tn=1); pad the block to lane width and mask the pad via the bias.
+    tn_pad = -(-tn // 128) * 128
+    if tn_pad != tn:
+        pad = [(0, 0), (0, tn_pad - tn), (0, 0)]
+        k_new = jnp.pad(k_new, pad)
+        v_new = jnp.pad(v_new, pad)
+        new_mask = jnp.pad(new_mask, [(0, 0), (0, tn_pad - tn)])
+        tn = tn_pad
+
+    def kv_index(i, klen_ref):
+        # clamp at the last live block: Pallas elides the refetch of an
+        # unchanged block, so dead iterations cost no bandwidth
+        last = jnp.maximum(pl.cdiv(klen_ref[0], block) - 1, 0)
+        return (0, jnp.minimum(i, last), 0)
 
     kernel = functools.partial(_kernel, block=block, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(hkv,),
+        grid=(nb_max,),
         in_specs=[
-            pl.BlockSpec((1, gt, d), lambda h, *_: (h, 0, 0),
-                         memory_space=pltpu.VMEM),          # q
-            pl.BlockSpec((1, tn, d), lambda h, *_: (h, 0, 0),
-                         memory_space=pltpu.VMEM),          # k_new
-            pl.BlockSpec((1, tn, d), lambda h, *_: (h, 0, 0),
-                         memory_space=pltpu.VMEM),          # v_new
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # new_mask
-            pl.BlockSpec(memory_space=pltpu.ANY),           # k (stays HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),           # v (stays HBM)
+            pl.BlockSpec((hkv, gt, d), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # q
+            pl.BlockSpec((hkv, tn, d), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # k_new
+            pl.BlockSpec((hkv, tn, d), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # v_new
+            pl.BlockSpec((gt, tn), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),            # bias
+            pl.BlockSpec((hkv, block, d), kv_index,
+                         memory_space=pltpu.VMEM),            # k block
+            pl.BlockSpec((hkv, block, d), kv_index,
+                         memory_space=pltpu.VMEM),            # v block
         ],
-        out_specs=pl.BlockSpec((1, gt, d), lambda h, *_: (h, 0, 0),
+        out_specs=pl.BlockSpec((hkv, gt, d), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block, d), k.dtype),
-            pltpu.VMEM((2, block, d), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((hkv, gt, 1), jnp.float32),   # m
+            pltpu.VMEM((hkv, gt, 1), jnp.float32),   # l
+            pltpu.VMEM((hkv, gt, d), jnp.float32),   # acc
         ],
     )
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # pre-scale once
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hkv, gt, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(k_len, jnp.int32).reshape(1), q, k_new, v_new,
-      new_mask.astype(jnp.int8), k, v)
+      jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32), k, v)
 
 
 def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
