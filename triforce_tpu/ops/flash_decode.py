@@ -162,8 +162,20 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
       jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32), k, v)
 
 
+def _pick_block(s: int, hkv: int, d: int) -> int:
+    """Largest candidate block dividing the cache length whose
+    double-buffered K+V slabs fit a 64 MB VMEM budget: bigger DMAs amortize
+    per-iteration pipeline overhead (measured on v5e: 512 -> 40 GB/s,
+    4000 -> ~400 GB/s vs a ~440 GB/s read ceiling)."""
+    cap = (64 * 1024 * 1024) // (4 * 2 * hkv * d)
+    for b in (4096, 4000, 3200, 2048, 2000, 1024, 1000, 512):
+        if b <= cap and s % b == 0:
+            return b
+    return 512
+
+
 def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
-                            new_mask=None, block: int = 512,
+                            new_mask=None, block=None,
                             interpret: bool = False):
     """Drop-in for ops.attention.append_attention (B=1, no cache mask):
     q [1,Hq,T,D]; k/v [1,Hkv,S,D]; k_new/v_new [1,Hkv,T,D]."""
@@ -171,6 +183,8 @@ def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
     hkv = k_cache.shape[1]
     g = hq // hkv
     assert b == 1
+    if block is None:
+        block = _pick_block(k_cache.shape[2], hkv, d)
     if new_mask is None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
