@@ -37,3 +37,25 @@ def single_device_mesh() -> Mesh:
 
 def named(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: one call per host before any jax device use.
+
+    TPU-native replacement for the reference's torchrun + NCCL process-group
+    init (models/TP_llama.py:19-25): after this, ``jax.devices()`` spans the
+    whole pod slice and every host runs the SAME jitted programs over a
+    global mesh — there is no rank-conditional code anywhere (SURVEY.md
+    §5.8). On Cloud TPU the arguments are auto-detected from the metadata
+    server; pass them explicitly elsewhere.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)

@@ -93,6 +93,38 @@ class TreeEngine:
                               temperature, top_p, tuple(eos_ids)),
             donate_argnums=_dn(1))
 
+        max_path = int(grow_map.depth.max()) + 1
+
+        def _gen(max_len, params, state):
+            """Whole tree generation as one dispatch (lax.while_loop)."""
+            buf = jnp.full((max_len + max_path + 1,), JUNK_TOKEN, jnp.int32)
+            buf = buf.at[0].set(state.next_token[0])
+
+            def cond(c):
+                state, buf, n, counters, stop = c
+                return (n < max_len + 1) & ~stop
+
+            def body(c):
+                state, buf, n, counters, stop = c
+                state, stats = _tree_step(cfg, grow_map, budget, prefill,
+                                          temperature, top_p,
+                                          tuple(eos_ids), params, state)
+                buf = jax.lax.dynamic_update_slice(buf, stats.tokens, (n,))
+                n = n + stats.n_emitted
+                counters = counters + jnp.stack(
+                    [jnp.int32(1), stats.n_nodes])
+                return state, buf, n, counters, stats.terminal
+
+            return jax.lax.while_loop(
+                cond, body, (state, buf, jnp.int32(1),
+                             jnp.zeros((2,), jnp.int32), jnp.bool_(False)))
+
+        self._gen = jax.jit(_gen, static_argnums=(0,), donate_argnums=_dn(2))
+
+    def generate(self, state: TreeState, max_len: int):
+        """Returns (state, token_buf, n, counters=[steps, nodes], stop)."""
+        return self._gen(max_len, self.params, state)
+
     def init_state(self, key: jax.Array) -> TreeState:
         kv = init_kv(self.cfg, self.max_cache_len, dtype=self.dtype)
         rkv = init_tree_retrieval(self.cfg, self.budget, self.gm.size,
@@ -288,24 +320,17 @@ def tree_decode(engine: TreeEngine, input_ids, max_len: int = 256,
 
     state = engine.init_state(jax.random.PRNGKey(seed))
     state = engine.prefill_target(state, input_ids)
-    out = [int(state.next_token[0])]
-
-    n = steps = 0
-    nodes = 0
-    jax.block_until_ready(state)
+    first = int(state.next_token[0])  # readback: prefill complete
     t0 = time.perf_counter()
-    while n < max_len:
-        state, stats = engine.step(state)
-        steps += 1
-        ne = int(stats.n_emitted)
-        out.extend(np.asarray(stats.tokens)[:ne].tolist())
-        n += ne
-        nodes += int(stats.n_nodes)
-        if bool(stats.terminal):
-            break
-    jax.block_until_ready(state)
+    state, buf, n, counters, _ = engine.generate(state, max_len)
+    n = int(n)
+    counters = np.asarray(counters)
     t1 = time.perf_counter()
-    return DecodeResult(tokens=out, tokens_per_sec=n / max(t1 - t0, 1e-9),
+    out = np.asarray(buf)[:n].tolist()
+    assert out[0] == first
+    steps, nodes = int(counters[0]), int(counters[1])
+    gen = n - 1
+    return DecodeResult(tokens=out, tokens_per_sec=gen / max(t1 - t0, 1e-9),
                         acceptance_rate=nodes / max(steps * engine.gm.size, 1),
-                        avg_tokens_per_step=n / max(steps, 1),
+                        avg_tokens_per_step=gen / max(steps, 1),
                         steps=steps, wall_s=t1 - t0)
