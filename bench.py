@@ -146,7 +146,7 @@ def main() -> None:
                    choices=["auto", "tiny", "7b-proxy"])
     p.add_argument("--prefill", type=int, default=None)
     p.add_argument("--gen-len", type=int, default=None)
-    p.add_argument("--prefill-chunk", type=int, default=128)
+    p.add_argument("--prefill-chunk", type=int, default=512)
     p.add_argument("--alpha", type=float, default=0.9,
                    help="per-token acceptance for the composed metric "
                         "(reference reports 0.9+ at budget 4K/chunk 8)")

@@ -66,7 +66,7 @@ class Engine:
                  target_params, *, draft_cfg: Optional[ModelConfig] = None,
                  draft_params=None, prefill: int, max_cache_len: int,
                  eos_token_id: int = 2, dtype=jnp.bfloat16,
-                 prefill_chunk: int = 128, draft_prefill_chunk: int = 64,
+                 prefill_chunk: int = 512, draft_prefill_chunk: int = 64,
                  batch: int = 1, donate: bool = True):
         assert prefill % spec.chunk_size == 0
         # align caches to the Pallas DMA block on TPU (flash_decode.py)

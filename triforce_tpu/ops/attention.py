@@ -175,9 +175,12 @@ def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
     kernel."""
     import os
     s = k_cache.shape[2]
+    gt = q.shape[1] * q.shape[2] // k_cache.shape[1]  # per-head rows G*T
     use_pallas = (
         cache_mask_fn is None and q.shape[0] == 1
         and s % 512 == 0 and s >= 2048
+        and gt <= 64  # decode/verify shapes; prefill chunks would blow the
+                      # [Hkv, G*T, block] VMEM score tile — XLA path instead
         and jax.default_backend() == "tpu"
         and not os.environ.get("TRIFORCE_NO_PALLAS"))
     if use_pallas:

@@ -162,16 +162,19 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
       jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32), k, v)
 
 
-def _pick_block(s: int, hkv: int, d: int) -> int:
+def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int) -> int:
     """Largest candidate block dividing the cache length whose
-    double-buffered K+V slabs fit a 64 MB VMEM budget: bigger DMAs amortize
+    double-buffered K+V slabs fit the VMEM left after the resident tensors
+    (q, new KV, bias, fp32 accumulators, output): bigger DMAs amortize
     per-iteration pipeline overhead (measured on v5e: 512 -> 40 GB/s,
     4000 -> ~400 GB/s vs a ~440 GB/s read ceiling)."""
-    cap = (64 * 1024 * 1024) // (4 * 2 * hkv * d)
-    for b in (4096, 4000, 3200, 2048, 2000, 1024, 1000, 512):
+    resident = hkv * gt * d * (2 + 4 + 4 + 4) + 2 * hkv * tn * d * 2         + gt * tn * 4
+    budget = 56 * 1024 * 1024 - resident
+    cap = max(budget, 0) // (4 * 2 * hkv * d)
+    for b in (4096, 4000, 3200, 2048, 2000, 1024, 1000, 512, 500, 256):
         if b <= cap and s % b == 0:
             return b
-    return 512
+    return 256
 
 
 def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
@@ -184,7 +187,8 @@ def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
     g = hq // hkv
     assert b == 1
     if block is None:
-        block = _pick_block(k_cache.shape[2], hkv, d)
+        tn_pad = -(-t // 128) * 128
+        block = _pick_block(k_cache.shape[2], hkv, d, g * t, tn_pad)
     if new_mask is None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
