@@ -72,7 +72,8 @@ def build_engine(preset: str, args):
     log(f"[bench] params initialised in {time.perf_counter() - t0:.1f}s")
     engine = Engine(cfg, spec, params, prefill=prefill,
                     max_cache_len=prefill + 3 * (gen_len + spec.gamma + 2),
-                    dtype=dtype, prefill_chunk=args.prefill_chunk)
+                    dtype=dtype, prefill_chunk=args.prefill_chunk,
+                    kv_quant=args.kv_dtype == "int8")
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, prefill), 0,
                              cfg.vocab_size)
     return engine, ids, gen_len
@@ -147,6 +148,9 @@ def main() -> None:
     p.add_argument("--prefill", type=int, default=None)
     p.add_argument("--gen-len", type=int, default=None)
     p.add_argument("--prefill-chunk", type=int, default=512)
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
+                   help="KV-cache storage (int8 halves decode bytes; the "
+                        "reference stores fp16)")
     p.add_argument("--alpha", type=float, default=0.9,
                    help="per-token acceptance for the composed metric "
                         "(reference reports 0.9+ at budget 4K/chunk 8)")
@@ -182,6 +186,7 @@ def main() -> None:
         "unit": "x",
         "vs_baseline": round(speedup / baseline, 4),
         "detail": {
+            "kv_dtype": args.kv_dtype,
             "alpha": alpha,
             "expected_tokens_per_step": round(exp_tokens, 3),
             "spec_step_ms": round(step_ms, 3),

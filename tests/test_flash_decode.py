@@ -72,3 +72,22 @@ def test_kernel_ignores_stale_tail():
                                     k_len=jnp.asarray(120), block=BLOCK,
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(clean), np.asarray(dirty))
+
+
+def test_kernel_quantized_cache():
+    """int8 cache path: kernel vs XLA dequant path."""
+    from triforce_tpu.cache import quantize_tokens
+    s, d, t = 512, 32, 3
+    q, k, v, kn, vn = _mk(4, 4, t, s, d, seed=21)
+    k8, ks = quantize_tokens(k)
+    v8, vs = quantize_tokens(v)
+    want = attention.append_attention(q, k8, v8, kn, vn,
+                                      k_len=jnp.asarray(300),
+                                      k_scale=ks, v_scale=vs)
+    got = append_attention_pallas(q, k8, v8, kn, vn,
+                                  k_len=jnp.asarray(300), block=BLOCK,
+                                  interpret=True, k_scale=ks, v_scale=vs)
+    # the kernel also quantizes q and p to run int8 MXU matmuls (the XLA
+    # path dequantizes exactly), so tolerance is int8-rounding-sized
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2)

@@ -37,15 +37,26 @@ class KVCache:
     ``seq_len`` is a traced i32 scalar: appends advance it, speculative
     rollback subtracts from it (reference mutates it from the host,
     utils/decoding.py:124); keys are stored rotated.
+
+    Optionally INT8-quantized (the reference stores fp16, cache.py:34): k/v
+    hold int8 codes and ``k_scale``/``v_scale`` the per-(layer, head, token)
+    fp32 scales — decode reads half the bytes, which is the whole cost of
+    long-context decode.
     """
 
-    k: jax.Array        # [L, B, H_kv, S_max, D]
+    k: jax.Array        # [L, B, H_kv, S_max, D] (bf16, or int8 codes)
     v: jax.Array        # [L, B, H_kv, S_max, D]
     seq_len: jax.Array  # i32 scalar
+    k_scale: Optional[jax.Array] = None  # [L, B, H_kv, S_max] f32
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[3]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     def rollback(self, n: jax.Array) -> "KVCache":
         return self.replace(seq_len=self.seq_len - n)
@@ -65,10 +76,16 @@ class RetrievalCache:
 
     k: jax.Array  # [L, B, H_kv, budget + gamma + 1, D]
     v: jax.Array
+    k_scale: Optional[jax.Array] = None  # [L, B, H_kv, real_budget] f32
+    v_scale: Optional[jax.Array] = None
 
     @property
     def real_budget(self) -> int:
         return self.k.shape[3]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 @struct.dataclass
@@ -93,17 +110,44 @@ class StreamingCache:
 # ---------------------------------------------------------------------------
 
 def init_kv(cfg: ModelConfig, max_len: int, batch: int = 1,
-            dtype=jnp.bfloat16) -> KVCache:
+            dtype=jnp.bfloat16, quant: bool = False) -> KVCache:
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if quant:
+        return KVCache(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       seq_len=jnp.zeros((), jnp.int32),
+                       k_scale=jnp.zeros(shape[:4], jnp.float32),
+                       v_scale=jnp.zeros(shape[:4], jnp.float32))
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    seq_len=jnp.zeros((), jnp.int32))
 
 
+def quantize_tokens(x: jax.Array):
+    """Symmetric int8 per-token-per-head quantization of [..., T, D] values:
+    scale = max|x| / 127 over D. Returns (codes int8, scales f32 [..., T])."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    codes = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+    return codes.astype(jnp.int8), scale
+
+
+def dequantize(codes: jax.Array, scale: jax.Array, dtype=jnp.float32):
+    return (codes.astype(jnp.float32) * scale[..., None].astype(jnp.float32)
+            ).astype(dtype)
+
+
 def init_retrieval(cfg: ModelConfig, spec: SpecConfig, batch: int = 1,
-                   dtype=jnp.bfloat16, pad_to: int = 1) -> RetrievalCache:
+                   dtype=jnp.bfloat16, pad_to: int = 1,
+                   quant: bool = False) -> RetrievalCache:
     real = spec.budget + spec.gamma + 1  # reference: cache.py:129
     real = -(-real // pad_to) * pad_to   # Pallas DMA block alignment
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, real, cfg.head_dim)
+    if quant:
+        return RetrievalCache(k=jnp.zeros(shape, jnp.int8),
+                              v=jnp.zeros(shape, jnp.int8),
+                              k_scale=jnp.zeros(shape[:4], jnp.float32),
+                              v_scale=jnp.zeros(shape[:4], jnp.float32))
     return RetrievalCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -221,19 +265,22 @@ def gather_kv_incremental(kv: KVCache, accept_idx: jax.Array,
     loop carry (see models/llama.py memory contract).
     """
     offset = offset.astype(jnp.int32)
-    sel = jnp.arange(max_accept) < n_accept
-    sel = sel[None, None, None, :, None]
+    sel0 = jnp.arange(max_accept) < n_accept
     idx = jnp.clip(accept_idx[:max_accept], 0, max_span - 1)
 
     def one(cache):
+        sel = sel0.reshape((1,) * 3 + (max_accept,) + (1,) * (cache.ndim - 4))
         block = jax.lax.dynamic_slice_in_dim(cache, offset, max_span, axis=3)
         gathered = jnp.take(block, idx, axis=3)
         blend = jnp.where(sel, gathered, block[:, :, :, :max_accept])
         return jax.lax.dynamic_update_slice_in_dim(cache, blend, offset,
                                                    axis=3)
 
+    extra = {}
+    if kv.quantized:
+        extra = {"k_scale": one(kv.k_scale), "v_scale": one(kv.v_scale)}
     return kv.replace(k=one(kv.k), v=one(kv.v),
-                      seq_len=offset + n_accept.astype(jnp.int32))
+                      seq_len=offset + n_accept.astype(jnp.int32), **extra)
 
 
 def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
@@ -263,14 +310,18 @@ def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
     # assumes: its refresh overwrites budget tail slots, cache.py:180-182).
     base = new_from - prefill
     lo = budget - base - max_new
-    sel = (max_new - 1 - jnp.arange(max_new)) < n_new  # position j valid
-    sel = sel[None, None, None, :, None]
+    sel0 = (max_new - 1 - jnp.arange(max_new)) < n_new  # position j valid
 
     def one(rc, fc):
+        sel = sel0.reshape((1,) * 3 + (max_new,) + (1,) * (rc.ndim - 4))
         toks = jax.lax.dynamic_slice_in_dim(fc, new_from, max_new, axis=3)
         toks = jnp.flip(toks, axis=3)
         old = jax.lax.dynamic_slice_in_dim(rc, lo, max_new, axis=3)
         blend = jnp.where(sel, toks, old)
         return jax.lax.dynamic_update_slice_in_dim(rc, blend, lo, axis=3)
 
-    return rkv.replace(k=one(rkv.k, kv.k), v=one(rkv.v, kv.v))
+    extra = {}
+    if rkv.quantized:
+        extra = {"k_scale": one(rkv.k_scale, kv.k_scale),
+                 "v_scale": one(rkv.v_scale, kv.v_scale)}
+    return rkv.replace(k=one(rkv.k, kv.k), v=one(rkv.v, kv.v), **extra)

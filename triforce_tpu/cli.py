@@ -49,6 +49,9 @@ def parse_args(argv=None):
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--file", default="", help="CSV log path (misc.log_csv)")
     p.add_argument("--dtype", default=None, help="bfloat16|float32")
+    p.add_argument("--kv_dtype", "--kv-dtype", default="bf16",
+                   choices=["bf16", "int8"], dest="kv_dtype",
+                   help="KV-cache storage precision")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel size (shards the KV cache)")
@@ -148,7 +151,7 @@ def main(argv=None):
             t_cfg, spec, t_params, draft_cfg=d_cfg, draft_params=d_params,
             prefill=args.prefill,
             max_cache_len=args.prefill + 2 * (args.gen_len + spec.gamma + 2),
-            dtype=dtype)
+            dtype=dtype, kv_quant=args.kv_dtype == "int8")
         fn = {"triforce": decoding.triforce,
               "retrieval": decoding.retrieval_spec,
               "ar": decoding.autoregressive}[args.mode]

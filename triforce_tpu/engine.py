@@ -67,10 +67,13 @@ class Engine:
                  draft_params=None, prefill: int, max_cache_len: int,
                  eos_token_id: int = 2, dtype=jnp.bfloat16,
                  prefill_chunk: int = 512, draft_prefill_chunk: int = 64,
-                 batch: int = 1, donate: bool = True):
+                 batch: int = 1, donate: bool = True,
+                 kv_quant: bool = False):
         assert prefill % spec.chunk_size == 0
-        # align caches to the Pallas DMA block on TPU (flash_decode.py)
-        self.cache_pad = 512 if jax.default_backend() == "tpu" else 1
+        # align caches to the max Pallas DMA block on TPU (flash_decode
+        # block 4096 needs both the cache length and the scale-plane lane
+        # dim divisible by it)
+        self.cache_pad = 4096 if jax.default_backend() == "tpu" else 1
         max_cache_len = -(-max_cache_len // self.cache_pad) * self.cache_pad
         self.target_cfg = target_cfg
         self.draft_cfg = draft_cfg
@@ -86,6 +89,7 @@ class Engine:
         self.draft_prefill_chunk = min(draft_prefill_chunk,
                                        spec.draft_recent_size)
         self.batch = batch
+        self.kv_quant = kv_quant
         self.t_params = target_params
         self.d_params = draft_params
 
@@ -229,9 +233,10 @@ class Engine:
 
     def init_state(self, key: jax.Array) -> TriForceState:
         kv = init_kv(self.target_cfg, self.max_cache_len, self.batch,
-                     self.dtype)
+                     self.dtype, quant=self.kv_quant)
         rkv = init_retrieval(self.target_cfg, self.spec, self.batch,
-                             self.dtype, pad_to=self.cache_pad)
+                             self.dtype, pad_to=self.cache_pad,
+                             quant=self.kv_quant)
         if self.draft_cfg is not None:
             dkv = init_streaming(self.draft_cfg, self.spec, self.batch,
                                  self.dtype)

@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, SpecConfig
-from ..cache import KVCache, RetrievalCache, StreamingCache
+from ..cache import (KVCache, RetrievalCache, StreamingCache,
+                     quantize_tokens)
 from ..ops.attention import append_attention, append_attention_auto
 from ..ops import retrieval as retrieval_ops
 from . import rope
@@ -128,6 +129,38 @@ def _commit(cache_k, cache_v, new_k, new_v, start):
             jax.lax.dynamic_update_slice(cache_v, new_v, idx))
 
 
+def _commit_cache(cache, new_k, new_v, start, **replace):
+    """Commit new KV stacks to a (possibly int8-quantized) cache pytree."""
+    if cache.quantized:
+        k8, ks = quantize_tokens(new_k)
+        v8, vs = quantize_tokens(new_v)
+        ck, cv = _commit(cache.k, cache.v, k8, v8, start)
+        zero = jnp.zeros((), jnp.int32)
+        idx = (zero, zero, zero, start.astype(jnp.int32))
+        cks = jax.lax.dynamic_update_slice(cache.k_scale, ks, idx)
+        cvs = jax.lax.dynamic_update_slice(cache.v_scale, vs, idx)
+        return cache.replace(k=ck, v=cv, k_scale=cks, v_scale=cvs, **replace)
+    ck, cv = _commit(cache.k, cache.v, new_k, new_v, start)
+    return cache.replace(k=ck, v=cv, **replace)
+
+
+def _cache_xs(cache):
+    """Scan xs tuple for a cache's per-layer slabs (+ scale slabs if
+    quantized)."""
+    if cache.quantized:
+        return (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    return (cache.k, cache.v)
+
+
+def _unpack_xs(xs, quant):
+    if quant:
+        lp, k_all, v_all, ks_all, vs_all = xs
+    else:
+        lp, k_all, v_all = xs
+        ks_all = vs_all = None
+    return lp, k_all, v_all, ks_all, vs_all
+
+
 # ---------------------------------------------------------------------------
 # Target-model forwards
 # ---------------------------------------------------------------------------
@@ -168,9 +201,12 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     slot_pos = jnp.arange(kv.max_len)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
+    quant = kv.quantized
+    assert not (quant and cfg.rope_on_slots), \
+        "un-rotated-key (drafter) caches are not quantized"
 
     def body(x, xs):
-        lp, k_all, v_all = xs  # read-only cache slabs
+        lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, quant)
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
@@ -182,39 +218,52 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
             k_cache = k_all
             k_store = k_att  # rotated keys stored (modeling_llama.py:221-230)
         ctx = append_attention_auto(q, k_cache, v_all, k_att, v_new,
-                                    k_len=seq_len0, new_mask=new_mask)
+                                    k_len=seq_len0, new_mask=new_mask,
+                                    k_scale=ks_all, v_scale=vs_all)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
         ys = (k_store, v_new, q) if building else (k_store, v_new)
         return x, ys
 
-    x, ys = jax.lax.scan(body, x, (params["layers"], kv.k, kv.v))
+    x, ys = jax.lax.scan(body, x, (params["layers"],) + _cache_xs(kv))
     if building:
         new_k, new_v, qs = ys
     else:
         new_k, new_v = ys
 
-    ck, cv = _commit(kv.k, kv.v, new_k, new_v, seq_len0)
+    kv_out = _commit_cache(kv, new_k, new_v, seq_len0,
+                           seq_len=kv.seq_len + t)
     logits = _logits(cfg, params, x) if need_logits else None
-    kv_out = kv.replace(k=ck, v=cv, seq_len=kv.seq_len + t)
 
     rkv_out = None
     if building:
         # Second, READ-ONLY scan over the committed cache stack: slicing the
         # cache as scan xs keeps it out of any loop carry (memory contract).
         def build_body(_, xs):
-            k_l, v_l, q_l = xs
-            k_sel, v_sel = retrieval_ops.build_layer(
-                q_l, k_l, v_l, prefill, chunk_size, budget)
-            return None, (k_sel, v_sel)
+            q_l = xs[-1]
+            k_l, v_l, ks_l, vs_l = (xs[0], xs[1],
+                                    xs[2] if quant else None,
+                                    xs[3] if quant else None)
+            sel = retrieval_ops.build_layer(
+                q_l, k_l, v_l, prefill, chunk_size, budget,
+                k_scale=ks_l, v_scale=vs_l)
+            return None, sel
 
-        _, (rk_sel, rv_sel) = jax.lax.scan(build_body, None, (ck, cv, qs))
+        _, sels = jax.lax.scan(build_body, None,
+                               _cache_xs(kv_out) + (qs,))
         zero = jnp.zeros((), jnp.int32)
         idx = (zero, zero, zero, zero, zero)
-        rk = jax.lax.dynamic_update_slice(build_rkv.k, rk_sel, idx)
-        rv = jax.lax.dynamic_update_slice(build_rkv.v, rv_sel, idx)
-        rkv_out = build_rkv.replace(k=rk, v=rv)
+        rk = jax.lax.dynamic_update_slice(build_rkv.k, sels[0], idx)
+        rv = jax.lax.dynamic_update_slice(build_rkv.v, sels[1], idx)
+        extra = {}
+        if quant:
+            idx4 = (zero, zero, zero, zero)
+            extra = {"k_scale": jax.lax.dynamic_update_slice(
+                         build_rkv.k_scale, sels[2], idx4),
+                     "v_scale": jax.lax.dynamic_update_slice(
+                         build_rkv.v_scale, sels[3], idx4)}
+        rkv_out = build_rkv.replace(k=rk, v=rv, **extra)
     return logits, kv_out, rkv_out
 
 
@@ -235,23 +284,24 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     k_len = jnp.asarray(budget, jnp.int32)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
+    quant = rkv.quantized
 
     def body(x, xs):
-        lp, k_all, v_all = xs
+        lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, quant)
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
         k_new = rope.apply_rope(k_new, cos, sin, positions)
         ctx = append_attention_auto(q, k_all, v_all, k_new, v_new,
-                                    k_len=k_len)
+                                    k_len=k_len, k_scale=ks_all,
+                                    v_scale=vs_all)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
         return x, (k_new, v_new)
 
-    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], rkv.k, rkv.v))
-    rk, rv = _commit(rkv.k, rkv.v, nk, nv, scratch0)
-    return _logits(cfg, params, x), rkv.replace(k=rk, v=rv)
+    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"],) + _cache_xs(rkv))
+    return _logits(cfg, params, x), _commit_cache(rkv, nk, nv, scratch0)
 
 
 def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,

@@ -50,8 +50,8 @@ def _update(qg, m, l, acc, k_blk, v_blk, valid):
 
 
 def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                       *, k_len=None, mask_fn=None,
-                       block: int = 2048) -> Partials:
+                       *, k_len=None, mask_fn=None, block: int = 2048,
+                       k_scale=None, v_scale=None) -> Partials:
     """Online-softmax partials of q against a (read-only) key/value buffer.
 
     ``k_len`` (traced i32) masks cols >= k_len and skips whole blocks beyond
@@ -76,13 +76,21 @@ def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             out = out & mask_fn(rows, cols)
         return out
 
+    quant = k_scale is not None
+
+    def deq(blk, sc):
+        if sc is None:
+            return blk
+        return blk.astype(jnp.float32) * sc[..., None].astype(jnp.float32)
+
     m0 = jnp.full((b, hkv, g, t), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
     acc0 = jnp.zeros((b, hkv, g, t, d), jnp.float32)
 
     if s <= block:
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
-        return _update(qg, m0, l0, acc0, k, v, valid_at(cols))
+        return _update(qg, m0, l0, acc0, deq(k, k_scale), deq(v, v_scale),
+                       valid_at(cols))
 
     nb = s // block            # full blocks; ragged tail handled statically
     tail = s - nb * block
@@ -93,6 +101,11 @@ def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         start = i * block
         k_blk = jax.lax.dynamic_slice_in_dim(k, start, block, axis=2)
         v_blk = jax.lax.dynamic_slice_in_dim(v, start, block, axis=2)
+        if quant:
+            k_blk = deq(k_blk, jax.lax.dynamic_slice_in_dim(
+                k_scale, start, block, axis=2))
+            v_blk = deq(v_blk, jax.lax.dynamic_slice_in_dim(
+                v_scale, start, block, axis=2))
         return _update(qg, m, l, acc, k_blk, v_blk, valid_at(cols0 + start))
 
     if k_len is None:
@@ -104,8 +117,11 @@ def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     if tail:
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, tail), 1) + nb * block
-        m, l, acc = _update(qg, m, l, acc, k[:, :, nb * block:],
-                            v[:, :, nb * block:], valid_at(cols))
+        k_t, v_t = k[:, :, nb * block:], v[:, :, nb * block:]
+        if quant:
+            k_t = deq(k_t, k_scale[:, :, nb * block:])
+            v_t = deq(v_t, v_scale[:, :, nb * block:])
+        m, l, acc = _update(qg, m, l, acc, k_t, v_t, valid_at(cols))
     return m, l, acc
 
 
@@ -144,8 +160,8 @@ def finalize(p: Partials, out_dtype) -> jnp.ndarray:
 
 
 def append_attention(q, k_cache, v_cache, k_new, v_new, *, k_len,
-                     cache_mask_fn=None, new_mask=None,
-                     block: int = 2048) -> jnp.ndarray:
+                     cache_mask_fn=None, new_mask=None, block: int = 2048,
+                     k_scale=None, v_scale=None) -> jnp.ndarray:
     """Attention of T new tokens against [valid cache prefix] + [themselves].
 
     The cache is strictly read-only here; the caller commits (k_new, v_new)
@@ -161,14 +177,17 @@ def append_attention(q, k_cache, v_cache, k_new, v_new, *, k_len,
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, tn), 1)
         new_mask = cols <= rows
     pc = attention_partials(q, k_cache, v_cache, k_len=k_len,
-                            mask_fn=cache_mask_fn, block=block)
+                            mask_fn=cache_mask_fn, block=block,
+                            k_scale=k_scale, v_scale=v_scale)
     pn = new_block_partials(q, k_new, v_new, new_mask)
-    return finalize(merge_partials(pc, pn), q.dtype)
+    out_dtype = q.dtype
+    return finalize(merge_partials(pc, pn), out_dtype)
 
 
 def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
                           cache_mask_fn=None, new_mask=None,
-                          block: int = 2048) -> jnp.ndarray:
+                          block: int = 2048, k_scale=None,
+                          v_scale=None) -> jnp.ndarray:
     """Dispatch to the Pallas flash-decode kernel when eligible (TPU backend,
     B=1, no extra cache mask, cache length a multiple of the DMA block),
     else the portable XLA path. ``TRIFORCE_NO_PALLAS=1`` disables the
@@ -186,10 +205,11 @@ def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
     if use_pallas:
         from .flash_decode import append_attention_pallas
         return append_attention_pallas(q, k_cache, v_cache, k_new, v_new,
-                                       k_len=k_len, new_mask=new_mask)
+                                       k_len=k_len, new_mask=new_mask,
+                                       k_scale=k_scale, v_scale=v_scale)
     return append_attention(q, k_cache, v_cache, k_new, v_new, k_len=k_len,
                             cache_mask_fn=cache_mask_fn, new_mask=new_mask,
-                            block=block)
+                            block=block, k_scale=k_scale, v_scale=v_scale)
 
 
 # ---------------------------------------------------------------------------

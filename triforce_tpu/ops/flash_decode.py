@@ -38,8 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30  # python float: jnp scalars become captured consts in pallas
 
 
-def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, k_ref, v_ref, o_ref,
-            m_sc, l_sc, acc_sc, *, block: int, scale: float):
+def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
+            block: int, scale: float, quant: bool):
+    if quant:
+        (qs_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_sc, l_sc,
+         acc_sc) = refs
+    else:
+        (k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc) = refs
+        ks_ref = vs_ref = qs_ref = None
     i = pl.program_id(0)
     k_len = klen_ref[0]
     nb = pl.cdiv(k_len, block)          # live blocks (may be 0)
@@ -58,26 +64,55 @@ def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, k_ref, v_ref, o_ref,
         valid = cols < k_len
         # batched over heads (bf16 operands, f32 accumulation): per-head
         # M = G*T rows is tiny (1 for MHA decode), so per-head matmuls are
-        # degenerate — the batched form keeps all heads in flight
-        sc = jax.lax.dot_general(
-            q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # [Hkv, GT, block]
+        # degenerate — the batched form keeps all heads in flight.
+        # int8 mode: q arrives pre-quantized (codes + per-row scale folded
+        # with 1/sqrt(d) into the score fixup), so the MXU runs int8 x int8
+        # -> int32 and scales factor onto the [Hkv, GT, block] scores —
+        # no O(block*D) dequant anywhere.
+        if quant:
+            sc_i = jax.lax.dot_general(
+                q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            sc = (sc_i.astype(jnp.float32) * qs_ref[:][:, :, None]
+                  * ks_ref[:][:, None, :])
+        else:
+            sc = jax.lax.dot_general(
+                q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [Hkv, GT, block]
         sc = jnp.where(valid, sc, _NEG_INF)
         m = m_sc[:]
         m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(sc - m_new)
         l_sc[:] = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
-        acc_sc[:] = acc_sc[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[:], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # [Hkv, GT, D]
+        if quant:
+            # fold the per-token value scale into p, re-quantize p per row
+            # (O(block) VPU work), and run the pv matmul in int8 too
+            pf = p * vs_ref[:][:, None, :]
+            ps = jnp.max(jnp.abs(pf), axis=-1, keepdims=True) / 127.0
+            ps = jnp.maximum(ps, 1e-20)
+            p8 = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
+            pv_i = jax.lax.dot_general(
+                p8, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            pv = pv_i.astype(jnp.float32) * ps
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[:], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        acc_sc[:] = acc_sc[:] * alpha + pv   # [Hkv, GT, D]
         m_sc[:] = m_new
 
     # finalize on the last grid step (nb == 0 finalizes at i == 0)
     @pl.when(i == jnp.maximum(nb - 1, 0))
     def _():
+        if quant:
+            qf = (q_ref[:].astype(jnp.float32)
+                  * qs_ref[:][:, :, None]).astype(kn_ref.dtype)
+        else:
+            qf = q_ref[:]
         sc = jax.lax.dot_general(
-            q_ref[:], kn_ref[:], (((2,), (2,)), ((0,), (0,))),
+            qf, kn_ref[:], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [Hkv, GT, Tn]
         sc = sc + bias_ref[:, :][None]
         m = m_sc[:]
@@ -93,7 +128,8 @@ def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, k_ref, v_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
-                        block: int = 512, interpret: bool = False):
+                        block: int = 512, interpret: bool = False,
+                        k_scale=None, v_scale=None):
     """Fused decode attention: q vs [cache prefix of length k_len] + [new
     tokens]. See module docstring for the layout contract.
 
@@ -124,7 +160,24 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
         last = jnp.maximum(pl.cdiv(klen_ref[0], block) - 1, 0)
         return (0, jnp.minimum(i, last), 0)
 
-    kernel = functools.partial(_kernel, block=block, scale=scale)
+    quant = k_scale is not None
+    kernel = functools.partial(_kernel, block=block, scale=scale,
+                               quant=quant)
+    kv_specs = ([pl.BlockSpec((hkv, gt), lambda i, *_: (0, 0),
+                              memory_space=pltpu.VMEM)]   # q scales
+                if quant else []) + [
+        pl.BlockSpec((hkv, block, d), kv_index,
+                     memory_space=pltpu.VMEM),                # k block
+        pl.BlockSpec((hkv, block, d), kv_index,
+                     memory_space=pltpu.VMEM),                # v block
+    ]
+    if quant:
+        kv_specs += [
+            pl.BlockSpec((hkv, block), lambda i, kl: kv_index(i, kl)[:2],
+                         memory_space=pltpu.VMEM),            # k scales
+            pl.BlockSpec((hkv, block), lambda i, kl: kv_index(i, kl)[:2],
+                         memory_space=pltpu.VMEM),            # v scales
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb_max,),
@@ -137,11 +190,7 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
                          memory_space=pltpu.VMEM),            # v_new
             pl.BlockSpec((gt, tn), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),            # bias
-            pl.BlockSpec((hkv, block, d), kv_index,
-                         memory_space=pltpu.VMEM),            # k block
-            pl.BlockSpec((hkv, block, d), kv_index,
-                         memory_space=pltpu.VMEM),            # v block
-        ],
+        ] + kv_specs,
         out_specs=pl.BlockSpec((hkv, gt, d), lambda i, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -151,6 +200,21 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
         ],
     )
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # pre-scale once
+    args = [jnp.asarray(k_len, jnp.int32).reshape(1), q, k_new, v_new,
+            jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32)]
+    if quant:
+        # quantize q per (head, row): int8 x int8 hits the MXU; the row
+        # scale (with 1/sqrt(d) already folded by the pre-scale above)
+        # multiplies the scores
+        qf = q.astype(jnp.float32)
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1) / 127.0, 1e-20)
+        q8 = jnp.clip(jnp.round(qf / qs[..., None]), -127, 127
+                      ).astype(jnp.int8)
+        args[1] = q8
+        args += [qs.astype(jnp.float32)]
+    args += [k, v]
+    if quant:
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -158,8 +222,7 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(k_len, jnp.int32).reshape(1), q, k_new, v_new,
-      jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32), k, v)
+    )(*args)
 
 
 def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int) -> int:
@@ -171,7 +234,9 @@ def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int) -> int:
     resident = hkv * gt * d * (2 + 4 + 4 + 4) + 2 * hkv * tn * d * 2         + gt * tn * 4
     budget = 56 * 1024 * 1024 - resident
     cap = max(budget, 0) // (4 * 2 * hkv * d)
-    for b in (4096, 4000, 3200, 2048, 2000, 1024, 1000, 512, 500, 256):
+    # candidates are multiples of 128: the quantized path fetches [Hkv,
+    # block] scale planes whose last dim must be lane-divisible
+    for b in (4096, 3200, 2048, 1024, 512, 256):
         if b <= cap and s % b == 0:
             return b
     return 256
@@ -179,9 +244,11 @@ def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int) -> int:
 
 def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
                             new_mask=None, block=None,
-                            interpret: bool = False):
+                            interpret: bool = False, k_scale=None,
+                            v_scale=None):
     """Drop-in for ops.attention.append_attention (B=1, no cache mask):
-    q [1,Hq,T,D]; k/v [1,Hkv,S,D]; k_new/v_new [1,Hkv,T,D]."""
+    q [1,Hq,T,D]; k/v [1,Hkv,S,D]; k_new/v_new [1,Hkv,T,D] (always bf16 —
+    the NEW tokens are in registers; only the cache may be int8)."""
     b, hq, t, d = q.shape
     hkv = k_cache.shape[1]
     g = hq // hkv
@@ -195,6 +262,9 @@ def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
         new_mask = cols <= rows
     nmask = jnp.tile(jnp.asarray(new_mask, bool), (g, 1))   # [G*T, T]
     qh = q[0].reshape(hkv, g * t, d)
-    out = flash_decode_append(qh, k_cache[0], v_cache[0], k_new[0], v_new[0],
-                              k_len, nmask, block=block, interpret=interpret)
+    out = flash_decode_append(
+        qh, k_cache[0], v_cache[0], k_new[0], v_new[0], k_len, nmask,
+        block=block, interpret=interpret,
+        k_scale=None if k_scale is None else k_scale[0],
+        v_scale=None if v_scale is None else v_scale[0])
     return out.reshape(1, hq, t, d).astype(q.dtype)

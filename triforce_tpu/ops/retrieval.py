@@ -64,18 +64,44 @@ def gather_chunks(cache_layer: jnp.ndarray, chunk_idx: jnp.ndarray,
     return picked.reshape(b, hkv, s_sets * chunk_size, d)
 
 
+def gather_chunk_scales(scale_layer: jnp.ndarray, chunk_idx: jnp.ndarray,
+                        chunk_size: int) -> jnp.ndarray:
+    """Gather selected chunks of a per-token scale plane [B, Hkv, P]."""
+    b, hkv, p = scale_layer.shape
+    chunks = p // chunk_size
+    s_sets = chunk_idx.shape[-1]
+    as_chunks = scale_layer.reshape(b, hkv, chunks, chunk_size)
+    idx = chunk_idx[..., None]
+    picked = jnp.take_along_axis(
+        as_chunks, jnp.broadcast_to(idx, (b, hkv, s_sets, chunk_size)),
+        axis=2)
+    return picked.reshape(b, hkv, s_sets * chunk_size)
+
+
 def build_layer(q: jnp.ndarray, k_layer: jnp.ndarray, v_layer: jnp.ndarray,
-                prefill: int, chunk_size: int, budget: int):
+                prefill: int, chunk_size: int, budget: int,
+                k_scale=None, v_scale=None):
     """Build one layer's retrieval budget region.
 
-    q [B,Hq,1,D]; k_layer/v_layer [B,Hkv,S_max,D] (full cache slabs).
-    Returns (k_sel, v_sel) [B, Hkv, budget, D] to be written at retrieval
-    slots [0, budget). ``prefill`` is static.
+    q [B,Hq,1,D]; k_layer/v_layer [B,Hkv,S_max,D] (full cache slabs; int8
+    codes + per-token scales when quantized — chunk scoring dequantizes on
+    the fly, the gather moves codes AND scales so the retrieval cache stays
+    int8). Returns (k_sel, v_sel[, ks_sel, vs_sel]) to be written at
+    retrieval slots [0, budget). ``prefill`` is static.
     """
     select_sets = budget // chunk_size
     k_prefill = k_layer[:, :, :prefill]
     v_prefill = v_layer[:, :, :prefill]
-    idx = select_chunks(q, k_prefill, chunk_size, select_sets)
+    if k_scale is not None:
+        k_score = (k_prefill.astype(jnp.float32)
+                   * k_scale[:, :, :prefill, None])
+    else:
+        k_score = k_prefill
+    idx = select_chunks(q, k_score, chunk_size, select_sets)
     k_sel = gather_chunks(k_prefill, idx, chunk_size)
     v_sel = gather_chunks(v_prefill, idx, chunk_size)
-    return k_sel, v_sel
+    if k_scale is None:
+        return k_sel, v_sel
+    ks_sel = gather_chunk_scales(k_scale[:, :, :prefill], idx, chunk_size)
+    vs_sel = gather_chunk_scales(v_scale[:, :, :prefill], idx, chunk_size)
+    return k_sel, v_sel, ks_sel, vs_sel
