@@ -1,0 +1,283 @@
+"""Continuous batching: slot-based batched decode with per-row sequence
+lengths and rolling admission.
+
+The reference is strictly bsz=1 (asserted at TP_llama.py:71); batching is a
+capability this framework adds for production serving (BASELINE.json config
+5). Design:
+
+  * a fixed pool of B slots shares one [L, B, H, S, D] cache (static shapes
+    under jit — no reallocation on admission);
+  * ``seq_lens`` is a [B] vector; attention masks each row by its own
+    length, so rows at different positions decode together;
+  * prefill fills ONE slot at a time (chunked, same scanned program as the
+    single-sequence engine path), decode steps advance ALL live rows in one
+    program — the classic continuous-batching split (prefill is
+    compute-bound, decode is bandwidth-bound; batching the latter shares
+    every weights read across B rows);
+  * the Scheduler admits queued requests into free slots between decode
+    segments and retires rows on EOS / length.
+
+Speculative modes stay single-sequence this round: variable per-row
+acceptance makes the speculation state machine per-row dynamic; the
+batched-AR machinery here (per-row lengths, slot pool, admission) is the
+substrate it will build on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import ModelConfig, SpecConfig
+from .models import llama, rope
+from .ops import sampling
+
+_NEG_INF = jnp.float32(-1e30)
+
+
+@struct.dataclass
+class BatchState:
+    """Slot pool state: one shared cache, per-row lengths/tokens."""
+    k: jax.Array          # [L, B, H, S, D]
+    v: jax.Array
+    seq_lens: jax.Array   # [B] i32 — tokens committed per row
+    tokens: jax.Array     # [B] i32 — last sampled token per row
+    live: jax.Array       # [B] bool — row actively decoding
+    out_buf: jax.Array    # [B, cap] i32 — generated tokens per row
+    n_out: jax.Array      # [B] i32 — fill level of out_buf
+    key: jax.Array
+
+
+def init_batch(cfg: ModelConfig, batch: int, max_len: int,
+               key, dtype=jnp.bfloat16, out_cap: int = 1024) -> BatchState:
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return BatchState(
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+        seq_lens=jnp.zeros((batch,), jnp.int32),
+        tokens=jnp.zeros((batch,), jnp.int32),
+        live=jnp.zeros((batch,), bool),
+        out_buf=jnp.zeros((batch, out_cap), jnp.int32),
+        n_out=jnp.zeros((batch,), jnp.int32), key=key)
+
+
+def _rowwise_attention(q, k, v, seq_lens, block: int = 2048):
+    """Decode attention with PER-ROW lengths: q [B,Hq,1,D] vs cache
+    [B,Hkv,S,D]; row b sees cols [0, seq_lens[b]) plus its own new token
+    (merged by the caller). Same online-softmax structure as
+    ops.attention.attention_partials, with a [B] length vector."""
+    b, hq, t, d = q.shape
+    hkv, s = k.shape[1], k.shape[2]
+    g = hq // hkv
+    scale = 1.0 / math.sqrt(d)
+    qg = q.reshape(b, hkv, g, t, d).astype(jnp.float32) * scale
+
+    m0 = jnp.full((b, hkv, g, t), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
+    acc0 = jnp.zeros((b, hkv, g, t, d), jnp.float32)
+
+    nb = -(-s // block)
+
+    def body(i, c):
+        m, l, acc = c
+        start = i * block
+        width = min(block, s)  # static
+        k_blk = jax.lax.dynamic_slice_in_dim(k, start, width, axis=2)
+        v_blk = jax.lax.dynamic_slice_in_dim(v, start, width, axis=2)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
+        valid = cols < seq_lens[:, None]            # [B, width]
+        sc = jnp.einsum("bhgtd,bhsd->bhgts", qg, k_blk.astype(jnp.float32))
+        sc = jnp.where(valid[:, None, None, None], sc, _NEG_INF)
+        m_new = jnp.maximum(m, sc.max(axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(sc - m_new[..., None])
+        l = l * alpha + p.sum(axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhgts,bhsd->bhgtd", p, v_blk.astype(jnp.float32))
+        return m_new, l, acc
+
+    nb_run = jnp.minimum((jnp.max(seq_lens) + block - 1) // block, nb)
+    m, l, acc = jax.lax.fori_loop(0, nb_run, body, (m0, l0, acc0))
+    return m, l, acc
+
+
+def batched_ar_step(cfg: ModelConfig, spec: SpecConfig, params,
+                    state: BatchState):
+    """One decode token for every live row (single program for the batch).
+
+    Per-row commit: each row writes its new KV at its own ``seq_lens[b]``
+    (vmapped dynamic_update_slice -> scatter); dead rows are masked out of
+    the length advance so their caches stay frozen."""
+    cfg_dtype = state.k.dtype
+    cos, sin = rope.cos_sin_tables(cfg)
+    b = state.tokens.shape[0]
+    positions = state.seq_lens  # [B] — each row decodes at its own position
+
+    x = jnp.take(params["embed"], state.tokens[:, None], axis=0)  # [B,1,H]
+
+    def body(x, xs):
+        lp, k_all, v_all = xs      # [B, H, S, D] slabs
+        h = llama._rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q, k_new, v_new = llama._qkv(h, lp, cfg)
+        q = _apply_rope_rows(q, cos, sin, positions)
+        k_new = _apply_rope_rows(k_new, cos, sin, positions)
+        pc = _rowwise_attention(q, k_all, v_all, state.seq_lens)
+        pn_mask = jnp.ones((1, 1), bool)
+        from .ops.attention import new_block_partials, merge_partials, \
+            finalize
+        pn = new_block_partials(q, k_new, v_new, pn_mask)
+        ctx = finalize(merge_partials(pc, pn), q.dtype)
+        x = x + llama._attn_out(ctx, lp)
+        h = llama._rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        x = x + llama._mlp(h, lp)
+        return x, (k_new, v_new)
+
+    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], state.k, state.v))
+
+    # per-row scatter commit: [L, B, H, 1, D] new KV at row positions
+    def row_commit(cache, new):
+        def one_row(cache_row, new_row, pos):
+            zero = jnp.zeros((), jnp.int32)
+            return jax.lax.dynamic_update_slice(
+                cache_row, new_row, (zero, zero, pos, zero))
+        return jax.vmap(one_row, in_axes=(1, 1, 0), out_axes=1)(
+            cache, new, positions)
+
+    ck = row_commit(state.k, nk.astype(cfg_dtype))
+    cv = row_commit(state.v, nv.astype(cfg_dtype))
+
+    logits = llama._logits(cfg, params, x)[:, -1]           # [B, V]
+    probs = sampling.norm_logits(logits, spec.temperature, spec.top_k,
+                                 spec.top_p)
+    key, ks = jax.random.split(state.key)
+    toks = sampling.sample(ks, probs).astype(jnp.int32)     # [B]
+
+    toks = jnp.where(state.live, toks, state.tokens)
+    seq_lens = state.seq_lens + state.live.astype(jnp.int32)
+    # append to each live row's output buffer
+    rows = jnp.arange(b)
+    cap = state.out_buf.shape[1]
+    idx = jnp.clip(state.n_out, 0, cap - 1)
+    cur = state.out_buf[rows, idx]
+    out_buf = state.out_buf.at[rows, idx].set(
+        jnp.where(state.live, toks, cur))
+    n_out = state.n_out + state.live.astype(jnp.int32)
+    return state.replace(k=ck, v=cv, seq_lens=seq_lens, tokens=toks,
+                         out_buf=out_buf, n_out=n_out, key=key)
+
+
+def _apply_rope_rows(x, cos, sin, positions):
+    """Rotate [B, H, 1, D] at per-row positions [B]."""
+    c = jnp.take(cos, positions, axis=0)[:, None, None]  # [B,1,1,D]
+    s = jnp.take(sin, positions, axis=0)[:, None, None]
+    return (x * c.astype(x.dtype)
+            + rope.rotate_half(x) * s.astype(x.dtype))
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray            # [T] int
+    max_new_tokens: int = 128
+    out: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class Scheduler:
+    """Continuous-batching loop: admit -> prefill into a free slot ->
+    batched decode segments -> retire. Host-side control, device-side
+    compute; decode segments are one dispatch each."""
+
+    def __init__(self, cfg: ModelConfig, spec: SpecConfig, params, *,
+                 batch: int = 4, max_len: int = 4096,
+                 prefill_chunk: int = 256, eos_token_id: int = 2,
+                 dtype=jnp.bfloat16, segment: int = 16, seed: int = 0):
+        self.cfg, self.spec, self.params = cfg, spec, params
+        self.batch, self.max_len = batch, max_len
+        self.prefill_chunk = prefill_chunk
+        self.eos = eos_token_id
+        self.segment = segment
+        self.state = init_batch(cfg, batch, max_len, jax.random.PRNGKey(seed),
+                                dtype)
+        self.slot_req: List[Optional[Request]] = [None] * batch
+        self.queue: List[Request] = []
+
+        def _seg(params, state, n):
+            def body(i, s):
+                return batched_ar_step(cfg, spec, params, s)
+            return jax.lax.fori_loop(0, n, body, state)
+        self._segment_fn = jax.jit(_seg, static_argnums=(2,),
+                                   donate_argnums=(1,))
+
+        def _prefill_row(params, row_k, row_v, ids, row_len):
+            from .cache import KVCache
+            kv = KVCache(k=row_k, v=row_v, seq_len=row_len)
+            logits, kv, _ = llama.forward_append(cfg, params, ids, kv)
+            return kv.k, kv.v, kv.seq_len, logits[:, -1]
+        self._prefill_row = jax.jit(_prefill_row, donate_argnums=(1, 2))
+
+    def submit(self, req: Request) -> None:
+        self.queue.append(req)
+
+    def _admit(self) -> None:
+        for slot in range(self.batch):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            ids = jnp.asarray(req.prompt, jnp.int32)[None]
+            # slot-local prefill through the single-sequence path
+            row_k = self.state.k[:, slot:slot + 1]
+            row_v = self.state.v[:, slot:slot + 1]
+            rk, rv, rlen, logits = self._prefill_row(
+                self.params, row_k, row_v, ids, jnp.zeros((), jnp.int32))
+            probs = sampling.norm_logits(logits, self.spec.temperature,
+                                         self.spec.top_k, self.spec.top_p)
+            key, ks = jax.random.split(self.state.key)
+            tok = sampling.sample(ks, probs)[0].astype(jnp.int32)
+            st = self.state
+            self.state = st.replace(
+                k=st.k.at[:, slot:slot + 1].set(rk),
+                v=st.v.at[:, slot:slot + 1].set(rv),
+                seq_lens=st.seq_lens.at[slot].set(rlen),
+                tokens=st.tokens.at[slot].set(tok),
+                live=st.live.at[slot].set(True),
+                n_out=st.n_out.at[slot].set(0), key=key)
+            req.out.append(int(tok))
+            self.slot_req[slot] = req
+
+    def run(self, max_wall_s: float = 300.0) -> List[Request]:
+        """Drive until queue + slots drain (or the wall clock expires)."""
+        done: List[Request] = []
+        t0 = time.perf_counter()
+        while (self.queue or any(r is not None for r in self.slot_req)) \
+                and time.perf_counter() - t0 < max_wall_s:
+            self._admit()
+            if not any(r is not None for r in self.slot_req):
+                continue
+            self.state = self._segment_fn(self.params, self.state,
+                                          self.segment)
+            out = np.asarray(self.state.out_buf)
+            n_out = np.asarray(self.state.n_out)
+            for slot, req in enumerate(self.slot_req):
+                if req is None:
+                    continue
+                # drain newly generated tokens (req.out[0] is the prefill
+                # sample, buffer holds only decode-step tokens)
+                new = out[slot, len(req.out) - 1: n_out[slot]].tolist()
+                req.out.extend(new)
+                hit_eos = self.eos in req.out
+                if hit_eos:
+                    req.out = req.out[: req.out.index(self.eos) + 1]
+                if hit_eos or len(req.out) >= req.max_new_tokens:
+                    req.done = True
+                    done.append(req)
+                    self.slot_req[slot] = None
+                    self.state = self.state.replace(
+                        live=self.state.live.at[slot].set(False))
+        return done
