@@ -115,9 +115,11 @@ def _attn_out(ctx, lp):
 
 def _logits(cfg: ModelConfig, params, x) -> jnp.ndarray:
     x = _rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    # fp32 logits, reference modeling_llama.py:408-409
-    return jnp.einsum("bth,hv->btv", x.astype(jnp.float32),
-                      params["lm_head"].astype(jnp.float32))
+    # matmul in model dtype with fp32 accumulation, then cast — exactly the
+    # reference's `lm_head(h).float()` (modeling_llama.py:408-409); f32
+    # OPERANDS would be a 4x-slower multi-pass on the bf16-native MXU
+    return jnp.einsum("bth,hv->btv", x, params["lm_head"],
+                      preferred_element_type=jnp.float32)
 
 
 def _commit(cache_k, cache_v, new_k, new_v, start):

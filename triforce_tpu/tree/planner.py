@@ -220,3 +220,34 @@ def choose_tree(p: np.ndarray, valid_budgets: Sequence[int],
                 best, best_pair = cost, (budget, d)
     m, l = best_pair
     return build_grow_map(T, choice, m, l), best, best_pair
+
+
+def main(argv=None):
+    """Offline planning CLI (reference: python tree/tree_search.py --config).
+
+    Reads a JSON config {acceptance_rate | acceptance_vector, max_depth,
+    max_budget, draft_time, valid_budget, target_time, dst} and writes the
+    chosen grow map to dst."""
+    import argparse
+    import json as _json
+
+    p = argparse.ArgumentParser(prog="triforce_tpu.tree.planner")
+    p.add_argument("--config", required=True)
+    args = p.parse_args(argv)
+    with open(args.config) as f:
+        cfg = _json.load(f)
+    if "acceptance_vector" in cfg:
+        pvec = np.asarray(cfg["acceptance_vector"], np.float64)
+    else:
+        pvec = modeled_acceptance_vector(cfg.get("acceptance_rate", 0.8),
+                                         cfg.get("max_branch", 4))
+    gm, cost, (m, l) = choose_tree(
+        pvec, cfg["valid_budget"], cfg["target_time"], cfg["draft_time"],
+        max_depth=cfg.get("max_depth", 24))
+    gm.save(cfg["dst"])
+    print(f"planned tree: {m} nodes, depth {l}, "
+          f"{cost * 1e3:.1f} ms/token expected -> {cfg['dst']}")
+
+
+if __name__ == "__main__":
+    main()
