@@ -1,0 +1,53 @@
+"""Data layer: prompt sources and fitting (reference data/dataset.py)."""
+
+import json
+import numpy as np
+
+from triforce_tpu import data
+
+
+def test_synthetic_deterministic():
+    a = data.synthetic_prompts(2, 256, vocab_size=1000, seed=3)
+    b = data.synthetic_prompts(2, 256, vocab_size=1000, seed=3)
+    assert len(a) == 2
+    for x, y in zip(a, b):
+        assert x.shape == (1, 256)
+        np.testing.assert_array_equal(x, y)
+        assert x.min() >= 0 and x.max() < 1000
+
+
+def test_fit_prompt_trim_and_tile():
+    ids = np.arange(10)[None]
+    out = data.fit_prompt(ids, 4)
+    np.testing.assert_array_equal(out, [[0, 1, 2, 3]])
+    out = data.fit_prompt(ids, 25)
+    assert out.shape == (1, 25)
+    np.testing.assert_array_equal(out[0, :10], np.arange(10))
+    np.testing.assert_array_equal(out[0, 10:20], np.arange(10))
+
+
+class _Tok:
+    def encode(self, text):
+        return [ord(c) % 100 for c in text]
+
+    def decode(self, ids, **kw):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+
+def test_pg19_local_json(tmp_path):
+    d = tmp_path / "pg19"
+    d.mkdir()
+    with open(d / "a.json", "w") as f:
+        for t in ["hello world", "second text"]:
+            f.write(json.dumps({"text": t}) + "\n")
+    prompts = data.get_dataset("one-shot", _Tok(), data_dir=str(d))
+    assert len(prompts) == 1
+    assert prompts[0].shape[1] == len("hello world")
+    prompts = data.get_dataset("gs", _Tok(), data_dir=str(d))
+    assert len(prompts) == 2
+
+
+def test_lwm_chat_template():
+    ids = data.build_chat_input_lwm(_Tok(), "x" * 500, prefill=300)
+    assert ids.shape[0] == 1
+    assert ids.shape[1] > 100
