@@ -373,9 +373,12 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         n = c["n"]
         key, kd, kr, ka = jax.random.split(c["key"], 4)
 
-        # drafter step at gamma offset n (fixed-width input)
-        d_logits, dkv = llama.draft_forward_spec(
-            d_cfg, d_params, c["verify_tokens"], c["dkv"], sp)
+        # drafter step at gamma offset n (fixed-width input; commit-free —
+        # the caches stay loop CLOSURES, never loop carries, so XLA does
+        # not double-buffer them per iteration)
+        d_logits, _ = llama.draft_forward_spec(
+            d_cfg, d_params, c["verify_tokens"], state.dkv, sp,
+            commit=False)
         q_n = sampling.norm_logits(d_logits[0, n][None], sp.temperature,
                                    -1, sp.top_p)[0]  # graph_infer.py:57
         tok = sampling.sample(kd, q_n)
@@ -383,9 +386,10 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
             c["verify_tokens"], tok[None, None].astype(jnp.int32),
             (jnp.int32(0), n + 1))
 
-        # middle verify over the retrieval cache
-        m_logits, rkv = llama.forward_spec(t_cfg, t_params, verify_tokens,
-                                           c["rkv"], kv_seq_len, sp.budget)
+        # middle verify over the retrieval cache (read-only)
+        m_logits, _ = llama.forward_spec(t_cfg, t_params, verify_tokens,
+                                         state.rkv, kv_seq_len, sp.budget,
+                                         commit=False)
         p = sampling.norm_logits(m_logits[0], sp.temperature, -1, sp.top_p)
 
         r = jax.random.uniform(kr)
@@ -432,13 +436,13 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
 
         return {"n": n, "verify_tokens": verify_tokens,
                 "gen_tokens": gen_tokens, "gen_probs": gen_probs,
-                "dkv": dkv, "rkv": rkv, "key": key,
+                "key": key,
                 "mid_draft": c["mid_draft"] + 1,
                 "mid_accept": c["mid_accept"] + acc}
 
     init = {"n": jnp.int32(0), "verify_tokens": verify_tokens0,
             "gen_tokens": gen_tokens0, "gen_probs": gen_probs0,
-            "dkv": state.dkv, "rkv": state.rkv, "key": state.key,
+            "key": state.key,
             "mid_draft": jnp.int32(0), "mid_accept": jnp.int32(0)}
     out = jax.lax.while_loop(cond, body, init)
     return out
@@ -542,7 +546,7 @@ def _triforce_step(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
                    t_params, d_params, state: TriForceState):
     """One full TriForce outer iteration (decoding.py:70-141), jitted whole."""
     mid = _middle_spec(t_cfg, d_cfg, sp, t_params, d_params, state)
-    state = state.replace(dkv=mid["dkv"], rkv=mid["rkv"], key=mid["key"])
+    state = state.replace(key=mid["key"])
     new_state, stats = _outer_verify_and_commit(
         t_cfg, sp, prefill, eos_token_id, t_params, state, mid["n"],
         mid["gen_tokens"], mid["gen_probs"], mid["key"], True, d_cfg,
@@ -568,10 +572,11 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
     gen_probs0 = jnp.zeros((gamma + 1, vocab), jnp.float32)
 
     def body(n, c):
-        verify_tokens, gen_tokens, gen_probs, rkv, key = c
+        verify_tokens, gen_tokens, gen_probs, key = c
         key, ks = jax.random.split(key)
-        m_logits, rkv = llama.forward_spec(t_cfg, t_params, verify_tokens,
-                                           rkv, kv_seq_len, sp.budget)
+        m_logits, _ = llama.forward_spec(t_cfg, t_params, verify_tokens,
+                                         state.rkv, kv_seq_len, sp.budget,
+                                         commit=False)
         p = sampling.norm_logits(m_logits[0], sp.temperature, -1, sp.top_p)
         tok = sampling.sample(ks, p[n])
         gen_tokens = gen_tokens.at[n].set(tok.astype(jnp.int32))
@@ -580,12 +585,12 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         verify_tokens = jax.lax.dynamic_update_slice(
             verify_tokens, tok[None, None].astype(jnp.int32),
             (jnp.int32(0), n + 1))
-        return (verify_tokens, gen_tokens, gen_probs, rkv, key)
+        return (verify_tokens, gen_tokens, gen_probs, key)
 
-    verify_tokens, gen_tokens, gen_probs, rkv, key = jax.lax.fori_loop(
+    verify_tokens, gen_tokens, gen_probs, key = jax.lax.fori_loop(
         0, gamma, body,
-        (verify_tokens0, gen_tokens0, gen_probs0, state.rkv, state.key))
-    state = state.replace(rkv=rkv, key=key)
+        (verify_tokens0, gen_tokens0, gen_probs0, state.key))
+    state = state.replace(key=key)
     return _outer_verify_and_commit(
         t_cfg, sp, prefill, eos_token_id, t_params, state, jnp.int32(gamma),
         gen_tokens, gen_probs, key, False, None, None)

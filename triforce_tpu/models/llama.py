@@ -271,7 +271,8 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 
 def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                  rkv: RetrievalCache, kv_seq_len: jnp.ndarray,
-                 budget: int) -> Tuple[jnp.ndarray, RetrievalCache]:
+                 budget: int, commit: bool = True,
+                 ) -> Tuple[jnp.ndarray, RetrievalCache]:
     """Middle-model verify: the gamma+1 tokens attend the budget region plus
     themselves (causally), and their KV lands in the scratch slots.
     reference: model_verify (graph_infer.py:61-67) -> spec=True attention
@@ -303,6 +304,12 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         return x, (k_new, v_new)
 
     x, (nk, nv) = jax.lax.scan(body, x, (params["layers"],) + _cache_xs(rkv))
+    if not commit:
+        # full-width spec forwards recompute every scratch row from their
+        # own inputs and the new-block attention covers them — persisting
+        # the scratch is a dead write, and dropping it lets callers keep
+        # rkv OUT of their loop carries (XLA double-buffers carried caches)
+        return _logits(cfg, params, x), rkv
     return _logits(cfg, params, x), _commit_cache(rkv, nk, nv, scratch0)
 
 
@@ -403,6 +410,7 @@ def draft_forward(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 
 def draft_forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                        dkv: StreamingCache, spec: SpecConfig,
+                       commit: bool = True,
                        ) -> Tuple[jnp.ndarray, StreamingCache]:
     """Drafter speculation step: T tokens written at the FIXED spec slots
     ``start + recent + i`` with query positions equal to those slot indices
@@ -440,5 +448,7 @@ def draft_forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         return x, (k_new, v_new)
 
     x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], dkv.k, dkv.v))
+    if not commit:
+        return _logits(cfg, params, x), dkv
     ck, cv = _commit(dkv.k, dkv.v, nk, nv, spec0_arr)
     return _logits(cfg, params, x), dkv.replace(k=ck, v=cv)
