@@ -72,3 +72,17 @@ def test_gumbel_topk_without_replacement_distinct():
             jax.random.PRNGKey(seed), probs, 3))
         assert len(set(idx.tolist())) == 3
         assert all(i < 4 for i in idx)  # zero-prob entries never chosen
+
+
+def test_fast_topp_matches_sorted():
+    """Binary-search nucleus filter == sort-based filter on random logits
+    (the kept set is the same upper level set)."""
+    from triforce_tpu.ops.sampling import top_p_filter, top_p_filter_fast
+    for seed in range(6):
+        logits = jax.random.normal(jax.random.PRNGKey(seed),
+                                   (3, 257)) * (1 + seed)
+        for p in (0.5, 0.9, 0.97):
+            a = np.asarray(top_p_filter(logits, p))
+            b = np.asarray(top_p_filter_fast(logits, p))
+            np.testing.assert_array_equal(a > -1e29, b > -1e29,
+                                          err_msg=f"seed={seed} p={p}")

@@ -70,10 +70,13 @@ class Engine:
                  batch: int = 1, donate: bool = True,
                  kv_quant: bool = False):
         assert prefill % spec.chunk_size == 0
-        # align caches to the max Pallas DMA block on TPU (flash_decode
-        # block 4096 needs both the cache length and the scale-plane lane
-        # dim divisible by it)
-        self.cache_pad = 4096 if jax.default_backend() == "tpu" else 1
+        # align caches to the Pallas DMA blocks (flash_decode._pick_block):
+        # the quantized path needs lane-divisible (x128) blocks that divide
+        # the cache length -> pad to 4096; bf16 does best at block 4000 on
+        # 512-aligned lengths (measured: 4000 ~ 396 GB/s on v5e)
+        on_tpu = jax.default_backend() == "tpu"
+        self.cache_pad = (4096 if kv_quant else 512) if on_tpu else 1
+        self.rkv_pad = 512 if on_tpu else 1
         max_cache_len = -(-max_cache_len // self.cache_pad) * self.cache_pad
         self.target_cfg = target_cfg
         self.draft_cfg = draft_cfg
@@ -235,7 +238,7 @@ class Engine:
         kv = init_kv(self.target_cfg, self.max_cache_len, self.batch,
                      self.dtype, quant=self.kv_quant)
         rkv = init_retrieval(self.target_cfg, self.spec, self.batch,
-                             self.dtype, pad_to=self.cache_pad,
+                             self.dtype, pad_to=self.rkv_pad,
                              quant=self.kv_quant)
         if self.draft_cfg is not None:
             dkv = init_streaming(self.draft_cfg, self.spec, self.batch,

@@ -225,7 +225,8 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
     )(*args)
 
 
-def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int) -> int:
+def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int,
+                quant: bool = False) -> int:
     """Largest candidate block dividing the cache length whose
     double-buffered K+V slabs fit the VMEM left after the resident tensors
     (q, new KV, bias, fp32 accumulators, output): bigger DMAs amortize
@@ -234,10 +235,12 @@ def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int) -> int:
     resident = hkv * gt * d * (2 + 4 + 4 + 4) + 2 * hkv * tn * d * 2         + gt * tn * 4
     budget = 56 * 1024 * 1024 - resident
     cap = max(budget, 0) // (4 * 2 * hkv * d)
-    # candidates are multiples of 128: the quantized path fetches [Hkv,
-    # block] scale planes whose last dim must be lane-divisible
-    for b in (4096, 3200, 2048, 1024, 512, 256):
-        if b <= cap and s % b == 0:
+    # largest divisor of s under the VMEM cap; quantized fetches include
+    # [Hkv, block] scale planes whose last dim must be lane-divisible (x128)
+    step = 128 if quant else 8
+    hi = (min(cap, 4096) // step) * step
+    for b in range(hi, 255, -step):
+        if s % b == 0:
             return b
     return 256
 
@@ -255,7 +258,8 @@ def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
     assert b == 1
     if block is None:
         tn_pad = -(-t // 128) * 128
-        block = _pick_block(k_cache.shape[2], hkv, d, g * t, tn_pad)
+        block = _pick_block(k_cache.shape[2], hkv, d, g * t, tn_pad,
+                            quant=k_scale is not None)
     if new_mask is None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)

@@ -51,15 +51,57 @@ def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return jnp.where(drop, _NEG_INF, logits)
 
 
+def top_p_filter_fast(logits: jnp.ndarray, top_p: float,
+                      iters: int = 24) -> jnp.ndarray:
+    """Sort-free nucleus filter: binary-search the probability threshold
+    whose upper level set has mass > top_p, then keep that set.
+
+    A top-p set is always an upper level set of the distribution (up to
+    exact fp ties, which have measure ~0 at fp32), so this matches the
+    sort-based filter while replacing an O(V log^2 V) bitonic sort with
+    ``iters`` masked reductions — the sort is the single most expensive op
+    in the speculation inner loop on TPU (norm_logits runs gamma+1 times
+    per step).
+    """
+    if top_p <= 0.0 or top_p >= 1.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    pmax = probs.max(axis=-1, keepdims=True)
+
+    def mass_ge(tau):
+        return jnp.sum(jnp.where(probs >= tau, probs, 0.0), axis=-1,
+                       keepdims=True)
+
+    # invariant: mass(lo) > top_p >= mass(hi)  (hi above the max keeps only
+    # nothing; lo=0 keeps everything)
+    lo = jnp.zeros_like(pmax)
+    hi = pmax + 1e-6
+
+    def body(_, c):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        keep_more = mass_ge(mid) > top_p
+        return jnp.where(keep_more, mid, lo), jnp.where(keep_more, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    # lo is the largest threshold whose level set still has mass > top_p;
+    # that level set is exactly the reference's kept prefix
+    return jnp.where(probs >= lo, logits, _NEG_INF)
+
+
 def norm_logits(logits: jnp.ndarray, temperature: float = 0.6,
                 top_k: int = -1, top_p: float = 0.9) -> jnp.ndarray:
     """logits [..., V] (fp32) -> filtered probability simplex [..., V].
 
     reference: utils/sampling.py:43-60.
     """
+    import os
     logits = logits.astype(jnp.float32) / temperature
     logits = top_k_filter(logits, top_k)
-    logits = top_p_filter(logits, top_p)
+    if os.environ.get("TRIFORCE_SORT_TOPP"):
+        logits = top_p_filter(logits, top_p)
+    else:
+        logits = top_p_filter_fast(logits, top_p)
     return jax.nn.softmax(logits, axis=-1)
 
 
