@@ -389,26 +389,30 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
             c["verify_tokens"], tok[None, None].astype(jnp.int32),
             (jnp.int32(0), n + 1))
 
-        # middle verify over the retrieval cache (read-only)
+        # middle verify over the retrieval cache (read-only); only rows n
+        # and n+1 of the distribution are ever used (accept test + bonus /
+        # reject sample) — filter just those two
         m_logits, _ = llama.forward_spec(t_cfg, t_params, verify_tokens,
                                          state.rkv, kv_seq_len, sp.budget,
                                          commit=False)
-        p = sampling.norm_logits(m_logits[0], sp.temperature, -1, sp.top_p)
+        two = jax.lax.dynamic_slice(
+            m_logits[0], (n, jnp.int32(0)), (2, vocab))
+        p2 = sampling.norm_logits(two, sp.temperature, -1, sp.top_p)
 
         r = jax.random.uniform(kr)
-        ratio = p[n, tok] / jnp.maximum(q_n[tok], 1e-37)
+        ratio = p2[0, tok] / jnp.maximum(q_n[tok], 1e-37)
         accept = r < jnp.minimum(1.0, ratio)
 
         def on_accept(args):
             verify_tokens, gen_tokens, gen_probs, n, key = args
             gen_tokens = gen_tokens.at[n].set(tok.astype(jnp.int32))
-            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p[n][None],
+            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p2[0][None],
                                                      (n, jnp.int32(0)))
             n1 = n + 1
             # bonus token from the next middle row (decoding.py:201-209)
-            tok2 = sampling.sample(ka, p[n1])
+            tok2 = sampling.sample(ka, p2[1])
             gen_tokens = gen_tokens.at[n1].set(tok2.astype(jnp.int32))
-            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p[n1][None],
+            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p2[1][None],
                                                      (n1, jnp.int32(0)))
             n2 = n1 + 1
             # guarded write (torch no-ops when n2 == gamma+1, SURVEY §7.3)
@@ -423,9 +427,9 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         def on_reject(args):
             verify_tokens, gen_tokens, gen_probs, n, key = args
             # sample directly from the middle distribution (decoding.py:212)
-            tok2 = sampling.sample(ka, p[n])
+            tok2 = sampling.sample(ka, p2[0])
             gen_tokens = gen_tokens.at[n].set(tok2.astype(jnp.int32))
-            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p[n][None],
+            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p2[0][None],
                                                      (n, jnp.int32(0)))
             n1 = n + 1
             verify_tokens = jax.lax.dynamic_update_slice(
@@ -580,10 +584,12 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         m_logits, _ = llama.forward_spec(t_cfg, t_params, verify_tokens,
                                          state.rkv, kv_seq_len, sp.budget,
                                          commit=False)
-        p = sampling.norm_logits(m_logits[0], sp.temperature, -1, sp.top_p)
-        tok = sampling.sample(ks, p[n])
+        row = jax.lax.dynamic_slice(m_logits[0], (n, jnp.int32(0)),
+                                    (1, vocab))
+        p_n = sampling.norm_logits(row, sp.temperature, -1, sp.top_p)[0]
+        tok = sampling.sample(ks, p_n)
         gen_tokens = gen_tokens.at[n].set(tok.astype(jnp.int32))
-        gen_probs = jax.lax.dynamic_update_slice(gen_probs, p[n][None],
+        gen_probs = jax.lax.dynamic_update_slice(gen_probs, p_n[None],
                                                  (n, jnp.int32(0)))
         verify_tokens = jax.lax.dynamic_update_slice(
             verify_tokens, tok[None, None].astype(jnp.int32),
