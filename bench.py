@@ -26,7 +26,6 @@ fixture, not the system. The raw measured run is reported in detail.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time

@@ -16,8 +16,6 @@ no torchrun / NCCL / on_chip-layer knob: distribution is a mesh
 from __future__ import annotations
 
 import argparse
-import sys
-import time
 
 
 def parse_args(argv=None):

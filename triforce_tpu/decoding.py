@@ -13,13 +13,13 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import Engine, TriForceState, JUNK_TOKEN
+from .engine import Engine, TriForceState
 from .ops import sampling
 from .utils.misc import spec_stream
 

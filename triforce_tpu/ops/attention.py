@@ -24,7 +24,7 @@ materialises it, modeling_llama_68m.py:183-184).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
