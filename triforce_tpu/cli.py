@@ -103,7 +103,9 @@ def main(argv=None):
         "bfloat16" if jax.default_backend() == "tpu" else "float32"
     )) == "bfloat16" else jnp.float32
 
-    recent = max(args.draft_cache_budget - args.start_size - 16, 16)
+    # reference: recent_size = draft_cache_budget - start - gamma
+    # (test/on_chip.py:77)
+    recent = max(args.draft_cache_budget - args.start_size - args.gamma, 16)
     spec = SpecConfig(gamma=args.gamma, budget=args.budget,
                       chunk_size=args.chunk_size,
                       draft_start_size=args.start_size,
