@@ -9,18 +9,25 @@ Reference baseline (BASELINE.md): 2.2x E2E decode speedup vs autoregressive
 for Llama2-7B-128K at 124K prefill on one A100 (reference README.md:49-55).
 On one TPU chip we measure every phase on ``BENCH_7B_PROXY`` — the 7B
 config's KV:weights byte ratio reproduced at single-chip scale (config.py) —
-with a REAL chunked prefill and the retrieval self-speculation hierarchy
-(BASELINE.json config 2).
+with a REAL chunked prefill, the retrieval self-speculation hierarchy
+(2-level, BASELINE.json config 2) AND the full 3-level drafter hierarchy
+(config 3, drafter = the reference's llama-68m architecture).
 
-Headline metric: AR ms/token and speculation step ms are MEASURED on
-hardware; the expected tokens-per-step is composed at the reference's
-published per-token acceptance (--alpha, default 0.9) exactly the way the
-reference's own tree planner composes measured times with a measured
-acceptance vector (tree/tree_search.py:55-75). Why composed: acceptance is
-a property of TRAINED weights (this environment cannot fetch checkpoints);
-random weights are either chaotic (sharp disjoint distributions -> ~0
-acceptance) or trivially uniform (~1), so raw acceptance measures the
-fixture, not the system. The raw measured run is reported in detail.
+Headline metric: MEASURED end-to-end tokens/s at CONTROLLED acceptance.
+Checkpoints are unreachable (no egress) and random weights cannot express
+trained-model acceptance (deep random nets are chaotic — raw measured
+acceptance here is ~0.05, which benchmarks the fixture, not the system). So
+the accept test is forced to a coin flip at the reference's published
+per-token rate (alpha, default 0.9) while EVERY real forward runs: drafter
+steps, middle verifies over the retrieval cache, full-cache target verify,
+rollback, tail refresh. Tokens-per-step is then measured, not composed from
+a formula. A sensitivity sweep over alpha in {0.7, 0.8, 0.9} and the raw
+random-weight run are reported alongside.
+
+Timing methodology: compile is separated from run (a warm-up prefill with
+different ids precedes every timed prefill); each timed generation consumes
+the warm-up's output state so the dispatch can never be a memoized replay
+(axon tunnel memoizes identical dispatches); host readbacks mark completion.
 """
 
 from __future__ import annotations
@@ -37,7 +44,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_engine(preset: str, args):
+def build_engine(preset: str, args, with_draft: bool):
     import jax.numpy as jnp
     from triforce_tpu import config as C
     from triforce_tpu.config import SpecConfig
@@ -46,7 +53,7 @@ def build_engine(preset: str, args):
     import jax
 
     if preset == "tiny":
-        cfg = C.TINY_TARGET
+        cfg, dcfg = C.TINY_TARGET, C.TINY_DRAFT
         spec = SpecConfig(gamma=3, budget=16, chunk_size=4,
                           draft_start_size=4, draft_recent_size=12,
                           temperature=0.6, top_p=0.9)
@@ -54,8 +61,11 @@ def build_engine(preset: str, args):
         gen_len = args.gen_len or 32
         dtype = jnp.float32
     elif preset == "7b-proxy":
-        cfg = C.BENCH_7B_PROXY
+        cfg, dcfg = C.BENCH_7B_PROXY, C.LLAMA_68M
+        # reference on-chip config: gamma 6, budget 4096, chunk 8,
+        # draft_cache_budget 266 -> recent = 266 - 16 - 6 (on_chip.py:77)
         spec = SpecConfig(gamma=6, budget=4096, chunk_size=8,
+                          draft_start_size=16, draft_recent_size=244,
                           temperature=0.6, top_p=0.9)
         prefill = args.prefill or 63488
         gen_len = args.gen_len or 128
@@ -64,41 +74,55 @@ def build_engine(preset: str, args):
         raise SystemExit(f"unknown preset {preset!r}")
 
     log(f"[bench] preset={preset} prefill={prefill} gen_len={gen_len} "
-        f"budget={spec.budget} gamma={spec.gamma}")
+        f"budget={spec.budget} gamma={spec.gamma} draft={with_draft}")
     t0 = time.perf_counter()
     params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
     jax.block_until_ready(params)
+    d_params = d_cfg = None
+    if with_draft:
+        d_cfg = dcfg
+        d_params = llama.init_params(jax.random.PRNGKey(1), dcfg,
+                                     dtype=dtype)
+        jax.block_until_ready(d_params)
     log(f"[bench] params initialised in {time.perf_counter() - t0:.1f}s")
-    engine = Engine(cfg, spec, params, prefill=prefill,
+    engine = Engine(cfg, spec, params, draft_cfg=d_cfg, draft_params=d_params,
+                    prefill=prefill,
                     max_cache_len=prefill + 3 * (gen_len + spec.gamma + 2),
                     dtype=dtype, prefill_chunk=args.prefill_chunk,
-                    kv_quant=args.kv_dtype == "int8")
-    ids = jax.random.randint(jax.random.PRNGKey(1), (1, prefill), 0,
-                             cfg.vocab_size)
-    return engine, ids, gen_len
+                    kv_quant=args.kv_dtype == "int8", donate=False)
+    return engine, prefill, gen_len
 
 
-def timed_prefill(engine, ids, seed):
+def make_ids(engine, seed):
     import jax
+    return jax.random.randint(jax.random.PRNGKey(seed), (1, engine.prefill),
+                              0, engine.target_cfg.vocab_size)
+
+
+def timed_prefill(engine, seed, with_draft: bool, label=""):
+    """One full prefill (target + optional drafter) ended by a host
+    readback. Caller must have warmed compile with DIFFERENT ids first."""
+    import jax
+    ids = make_ids(engine, seed)
     t0 = time.perf_counter()
     state = engine.init_state(jax.random.PRNGKey(seed))
     state = engine.prefill_target(state, ids)
-    _ = int(state.next_token[0])  # host readback: the tunnel's
-    # block_until_ready resolves before device completion, so only a value
-    # fetch marks the real end of the prefill
+    if with_draft:
+        state = engine.prefill_draft(state, ids)
+    _ = int(state.next_token[0])
     dt = time.perf_counter() - t0
-    log(f"[bench] prefill({ids.shape[1]}) in {dt:.1f}s "
+    log(f"[bench] prefill{label}({ids.shape[1]}) in {dt:.1f}s "
         f"({ids.shape[1] / dt:.0f} tok/s)")
     return state, dt
 
 
-def run_ar(engine, ids, gen_len):
+def run_ar(engine, gen_len):
     """Autoregressive baseline tokens/s: whole token loop is one device
     dispatch (reference decoding.py:14-37 pays a host sync per token)."""
-    state, prefill_s = timed_prefill(engine, ids, seed=0)
+    state, prefill_s = timed_prefill(engine, seed=11, with_draft=False)
     kv, token, key = state.kv, state.next_token, state.key
-    # warmup dispatch compiles the fori_loop program; its state feeds the
-    # timed run, so the timed call can never be a memoized replay
+    # warmup dispatch compiles; its OUTPUT feeds the timed run, so the timed
+    # call can never be a memoized replay
     kv, token, key, buf = engine.generate_ar(kv, token, key, gen_len)
     _ = int(buf[-1])
     t0 = time.perf_counter()
@@ -112,32 +136,63 @@ def run_ar(engine, ids, gen_len):
             "prefill_s": prefill_s}
 
 
-def run_spec(engine, ids, gen_len):
-    """Retrieval self-speculation decode tokens/s (BASELINE.json config 2);
-    whole generation is one device dispatch."""
-    import numpy as np
-    state, prefill_s = timed_prefill(engine, ids, seed=0)
-    state, buf, n, counters, _ = engine.generate(
-        state, gen_len, mode="retrieval")
-    _ = int(n)  # warmup + compile
+def _timed_generation(fn, state, gen_len):
+    """warmup (compile) -> timed run from the warmup's output state."""
+    st1, *_ = _read(fn(state))
     t0 = time.perf_counter()
-    state, buf, n, counters, _ = engine.generate(state, gen_len,
-                                                 mode="retrieval")
-    n = int(n)
-    counters = np.asarray(counters)
+    _, buf, n, counters, _ = _read(fn(st1))
     dt = time.perf_counter() - t0
-    del state
-    steps, accepted, proposed = (int(counters[0]), int(counters[1]),
-                                 int(counters[2]))
+    return n, counters, dt
+
+
+def _read(out):
+    """Force completion via host readback of the token count."""
+    state, buf, n, counters, stop = out
+    n = int(n)
+    return state, buf, n, np.asarray(counters), stop
+
+
+def run_spec(engine, gen_len, mode, alphas, with_draft):
+    """Speculative decode: raw (real rejection test on random weights) +
+    measured throughput at each forced acceptance alpha."""
+    state0, prefill_s = timed_prefill(engine, seed=23, with_draft=with_draft,
+                                      label=f" {mode}")
+
+    res = {"prefill_s": prefill_s}
+    n, counters, dt = _timed_generation(
+        lambda s: engine.generate(s, gen_len, mode=mode), state0, gen_len)
     gen = n - 1
-    tps = gen / dt
-    acc = accepted / max(proposed, 1)
-    log(f"[bench] retrieval-spec: {tps:.2f} tok/s "
-        f"({1e3 * dt / max(gen, 1):.1f} ms/token), acceptance {acc:.3f}, "
-        f"{gen / max(steps, 1):.2f} tok/step")
-    return {"tokens_per_sec": tps, "ms_per_token": 1e3 * dt / max(gen, 1),
-            "acceptance_rate": acc, "tokens_per_step": gen / max(steps, 1),
-            "step_ms": 1e3 * dt / max(steps, 1), "prefill_s": prefill_s}
+    steps, accepted, proposed = int(counters[0]), int(counters[1]), \
+        int(counters[2])
+    res["raw"] = {
+        "tokens_per_sec": gen / dt, "ms_per_token": 1e3 * dt / max(gen, 1),
+        "acceptance_rate": accepted / max(proposed, 1),
+        "tokens_per_step": gen / max(steps, 1),
+        "step_ms": 1e3 * dt / max(steps, 1)}
+    log(f"[bench] {mode} raw: {gen / dt:.2f} tok/s, acceptance "
+        f"{res['raw']['acceptance_rate']:.3f}, step "
+        f"{res['raw']['step_ms']:.1f} ms")
+
+    res["forced"] = {}
+    for alpha in alphas:
+        n, counters, dt = _timed_generation(
+            lambda s: engine.generate_forced(s, gen_len, alpha, mode=mode),
+            state0, gen_len)
+        gen = n - 1
+        steps = int(counters[0])
+        acc_rate = int(counters[1]) / max(int(counters[2]), 1)
+        res["forced"][str(alpha)] = {
+            "tokens_per_sec": gen / dt,
+            "ms_per_token": 1e3 * dt / max(gen, 1),
+            "tokens_per_step": gen / max(steps, 1),
+            "step_ms": 1e3 * dt / max(steps, 1),
+            "measured_accept": acc_rate}
+        log(f"[bench] {mode} alpha={alpha}: {gen / dt:.2f} tok/s "
+            f"({1e3 * dt / max(gen, 1):.1f} ms/token), "
+            f"{gen / max(steps, 1):.2f} tok/step, step "
+            f"{1e3 * dt / max(steps, 1):.1f} ms")
+    del state0
+    return res
 
 
 def main() -> None:
@@ -153,8 +208,9 @@ def main() -> None:
                         "baseline uses the SAME dtype, which is stronger "
                         "than the reference's fp16 baseline)")
     p.add_argument("--alpha", type=float, default=0.9,
-                   help="per-token acceptance for the composed metric "
-                        "(reference reports 0.9+ at budget 4K/chunk 8)")
+                   help="headline acceptance (reference reports 0.9+ at "
+                        "budget 4K / chunk 8)")
+    p.add_argument("--modes", default="retrieval,triforce")
     args = p.parse_args()
 
     import jax
@@ -164,44 +220,59 @@ def main() -> None:
         preset = "7b-proxy" if backend == "tpu" else "tiny"
     log(f"[bench] backend={backend} devices={jax.devices()}")
 
-    engine, ids, gen_len = build_engine(preset, args)
-    ar = run_ar(engine, ids, gen_len)
-    spec = run_spec(engine, ids, gen_len)
+    alphas = sorted({0.7, 0.8, args.alpha})
+    modes = args.modes.split(",")
 
-    raw_speedup = spec["tokens_per_sec"] / ar["tokens_per_sec"]
-    # compose at reference acceptance: expected emitted tokens per step for
-    # gamma2 proposals with per-token acceptance alpha, + resample/bonus
-    gamma2 = engine.spec.gamma + 1
-    alpha = args.alpha
-    exp_tokens = 1.0 + sum(alpha ** i for i in range(1, gamma2 + 1))
-    step_ms = spec["step_ms"]
-    ms_tok_at_alpha = step_ms / exp_tokens
-    speedup = ar["ms_per_token"] / ms_tok_at_alpha
+    results = {}
+    engine, prefill, gen_len = build_engine(preset, args,
+                                            with_draft="triforce" in modes)
+    # compile warm-up prefill with ids nobody times
+    _state, _ = timed_prefill(engine, seed=7,
+                              with_draft="triforce" in modes,
+                              label=" warmup(compile)")
+    del _state
+    results["ar"] = run_ar(engine, gen_len)
+    for mode in modes:
+        results[mode] = run_spec(engine, gen_len, mode, alphas,
+                                 with_draft=mode == "triforce")
+
+    a = str(args.alpha)
+    best_mode = max(
+        (m for m in modes),
+        key=lambda m: results[m]["forced"][a]["tokens_per_sec"])
+    head = results[best_mode]["forced"][a]
+    speedup = head["tokens_per_sec"] / results["ar"]["tokens_per_sec"]
     baseline = 2.2  # reference on-chip E2E speedup (README.md:49-55)
-    log(f"[bench] composed: step {step_ms:.1f} ms, {exp_tokens:.2f} tok/step "
-        f"at alpha={alpha} -> {ms_tok_at_alpha:.1f} ms/token; "
-        f"speedup {speedup:.2f}x (raw-random-weights {raw_speedup:.2f}x)")
+    log(f"[bench] headline: {best_mode} at alpha={a}: "
+        f"{head['tokens_per_sec']:.2f} tok/s vs AR "
+        f"{results['ar']['tokens_per_sec']:.2f} -> {speedup:.2f}x "
+        f"(reference 2.2x)")
     out = {
-        "metric": "triforce_retrieval_speedup_vs_ar_at_reference_acceptance",
+        "metric": "triforce_speedup_vs_ar_at_controlled_acceptance",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / baseline, 4),
         "detail": {
             "kv_dtype": args.kv_dtype,
-            "alpha": alpha,
-            "expected_tokens_per_step": round(exp_tokens, 3),
-            "spec_step_ms": round(step_ms, 3),
-            "ms_per_token_at_alpha": round(ms_tok_at_alpha, 3),
-            "raw_random_weight_speedup": round(raw_speedup, 4),
+            "alpha": args.alpha,
+            "headline_mode": best_mode,
             "preset": preset,
             "backend": backend,
-            "prefill": int(ids.shape[1]),
+            "prefill": prefill,
             "gen_len": gen_len,
-            "ar": {k: round(v, 4) for k, v in ar.items()},
-            "spec": {k: round(v, 4) for k, v in spec.items()},
+            "ar": {k: round(v, 4) for k, v in results["ar"].items()},
+            **{m: _round_tree(results[m]) for m in modes},
         },
     }
     print(json.dumps(out), flush=True)
+
+
+def _round_tree(x):
+    if isinstance(x, dict):
+        return {k: _round_tree(v) for k, v in x.items()}
+    if isinstance(x, float):
+        return round(x, 4)
+    return x
 
 
 if __name__ == "__main__":

@@ -85,3 +85,63 @@ def test_tp_triforce_step_runs_sharded():
     assert ((0 <= toks) & (toks < TP8_CFG.vocab_size)).all()
     assert int(new_state.kv.seq_len) == int(state.kv.seq_len) + \
         int(stats.accepted) + 1
+
+
+@pytest.mark.parametrize("tp,sp,quant", [(1, 8, False), (2, 4, False),
+                                         (2, 4, True), (8, 1, False)])
+def test_sharded_triforce_tokens_match_single_device(tp, sp, quant):
+    """The WHOLE fused TriForce step under a (tp, sp) mesh must emit the
+    same tokens as the single-device engine: sequence-sharding the full
+    cache (the reference's offloading replacement, SURVEY.md §5.7) is
+    an implementation detail, not a model change."""
+    spec = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
+                      draft_recent_size=12, temperature=0.2, top_p=0.9)
+    prefill = 32
+    t_params = llama.init_params(jax.random.PRNGKey(0), TP8_CFG,
+                                 dtype=jnp.float32)
+    d_params = llama.init_params(jax.random.PRNGKey(1), cfg_mod.TINY_DRAFT,
+                                 dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, prefill), 0,
+                             TP8_CFG.vocab_size)
+
+    def run(mesh, shard_seq):
+        engine = Engine(TP8_CFG, spec, t_params, draft_cfg=cfg_mod.TINY_DRAFT,
+                        draft_params=d_params, prefill=prefill,
+                        max_cache_len=prefill + 32, dtype=jnp.float32,
+                        prefill_chunk=16, draft_prefill_chunk=8,
+                        donate=False, mesh=mesh, shard_seq=shard_seq,
+                        kv_quant=quant)
+        state = engine.init_state(jax.random.PRNGKey(7))
+        state = engine.prefill_target(state, ids)
+        state = engine.prefill_draft(state, ids)
+        toks = []
+        for _ in range(3):
+            state, stats = engine.triforce_step(state)
+            toks += list(np.asarray(stats.tokens)[:int(stats.n_emitted)])
+        return toks
+
+    ref = run(None, False)
+    m = mesh_mod.make_mesh(tp=tp, sp=sp)
+    got = run(m, shard_seq=sp > 1)
+    assert got == ref
+
+
+def test_sharded_generate_retrieval_runs():
+    """Whole-generation lax.while_loop under an sp mesh (one dispatch)."""
+    spec = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
+                      draft_recent_size=12, temperature=0.6, top_p=0.9)
+    prefill = 32
+    t_params = llama.init_params(jax.random.PRNGKey(0), TP8_CFG,
+                                 dtype=jnp.float32)
+    m = mesh_mod.make_mesh(tp=2, sp=4)
+    engine = Engine(TP8_CFG, spec, t_params, prefill=prefill,
+                    max_cache_len=prefill + 32, dtype=jnp.float32,
+                    prefill_chunk=16, donate=False, mesh=m, shard_seq=True)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, prefill), 0,
+                             TP8_CFG.vocab_size)
+    state = engine.init_state(jax.random.PRNGKey(7))
+    state = engine.prefill_target(state, ids)
+    state, buf, n, counters, _ = engine.generate(state, 8, mode="retrieval")
+    assert int(n) >= 8
+    toks = np.asarray(buf)[:int(n)]
+    assert ((0 <= toks) & (toks < TP8_CFG.vocab_size)).all()

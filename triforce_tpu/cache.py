@@ -310,7 +310,14 @@ def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
     # assumes: its refresh overwrites budget tail slots, cache.py:180-182).
     base = new_from - prefill
     lo = budget - base - max_new
-    sel0 = (max_new - 1 - jnp.arange(max_new)) < n_new  # position j valid
+    # Out-of-regime guard: once generated tokens approach the budget
+    # (base + max_new > budget), descending slots would run off the front of
+    # the budget region. Clamp-and-skip: the write becomes a no-op instead of
+    # silently corrupting slot 0 (the attention sink). The reference has the
+    # same capacity assumption and no guard (cache.py:180-182).
+    in_regime = lo >= 0
+    lo = jnp.maximum(lo, 0)
+    sel0 = ((max_new - 1 - jnp.arange(max_new)) < n_new) & in_regime
 
     def one(rc, fc):
         sel = sel0.reshape((1,) * 3 + (max_new,) + (1,) * (rc.ndim - 4))

@@ -89,7 +89,20 @@ def load_model(spec: str, dtype):
 def main(argv=None):
     args = parse_args(argv)
 
+    import os
+
     import jax
+
+    # the axon sitecustomize force-registers the TPU backend regardless of
+    # JAX_PLATFORMS; when the caller asked for virtual host devices (testing
+    # --tp/--sp without hardware), pin the cpu platform explicitly
+    if "xla_force_host_platform_device_count" in os.environ.get(
+            "XLA_FLAGS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -113,7 +126,31 @@ def main(argv=None):
                       temperature=args.temp, top_p=args.top_p,
                       max_len=args.gen_len)
 
+    if args.mode in ("triforce", "retrieval") and \
+            args.gen_len + args.gamma + 2 > args.budget:
+        print(f"[warn] gen_len {args.gen_len} approaches budget "
+              f"{args.budget}: the retrieval tail refresh stops once "
+              f"generated tokens reach budget - gamma - 2 (older generated "
+              f"tokens stay in the budget region; losslessness unaffected)")
+
     t_cfg, t_params, tokenizer = load_model(args.model, dtype)
+
+    # --tp/--sp: build the device mesh and shard params + decode state.
+    # Replaces the reference's torchrun/NCCL launch (test/offloading_TP.py);
+    # the same program runs on every host, sampling is replicated
+    # (SURVEY.md §5.8) so there are zero broadcasts.
+    mesh = None
+    if args.tp * args.sp > 1:
+        from .parallel import mesh as mesh_mod
+        if t_cfg.num_kv_heads % args.tp != 0:
+            raise SystemExit(
+                f"--tp {args.tp} does not divide num_kv_heads "
+                f"{t_cfg.num_kv_heads}; put the surplus on --sp instead")
+        if args.mode == "tree":
+            raise SystemExit("--tp/--sp with --mode tree lands with the "
+                             "sharded TreeEngine; use triforce/retrieval/ar")
+        mesh = mesh_mod.make_mesh(tp=args.tp, sp=args.sp)
+
     print_config(mode=args.mode, model=args.model, prefill=args.prefill,
                  gen_len=args.gen_len, gamma=args.gamma, budget=args.budget,
                  chunk_size=args.chunk_size, temp=args.temp,
@@ -151,7 +188,8 @@ def main(argv=None):
             t_cfg, spec, t_params, draft_cfg=d_cfg, draft_params=d_params,
             prefill=args.prefill,
             max_cache_len=args.prefill + 2 * (args.gen_len + spec.gamma + 2),
-            dtype=dtype, kv_quant=args.kv_dtype == "int8")
+            dtype=dtype, kv_quant=args.kv_dtype == "int8",
+            mesh=mesh, shard_seq=args.sp > 1)
         fn = {"triforce": decoding.triforce,
               "retrieval": decoding.retrieval_spec,
               "ar": decoding.autoregressive}[args.mode]

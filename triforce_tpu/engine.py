@@ -68,7 +68,8 @@ class Engine:
                  eos_token_id: int = 2, dtype=jnp.bfloat16,
                  prefill_chunk: int = 512, draft_prefill_chunk: int = 64,
                  batch: int = 1, donate: bool = True,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False, mesh=None,
+                 shard_seq: bool = False):
         assert prefill % spec.chunk_size == 0
         # align caches to the Pallas DMA blocks (flash_decode._pick_block):
         # the quantized path needs lane-divisible (x128) blocks that divide
@@ -77,7 +78,12 @@ class Engine:
         on_tpu = jax.default_backend() == "tpu"
         self.cache_pad = (4096 if kv_quant else 512) if on_tpu else 1
         self.rkv_pad = 512 if on_tpu else 1
-        max_cache_len = -(-max_cache_len // self.cache_pad) * self.cache_pad
+        # sequence-sharded caches must divide over sp AND keep each LOCAL
+        # shard DMA-block-aligned, so the pad unit is cache_pad * sp
+        pad_unit = self.cache_pad
+        if mesh is not None and shard_seq:
+            pad_unit *= mesh.shape["sp"]
+        max_cache_len = -(-max_cache_len // pad_unit) * pad_unit
         self.target_cfg = target_cfg
         self.draft_cfg = draft_cfg
         self.spec = spec
@@ -93,6 +99,21 @@ class Engine:
                                        spec.draft_recent_size)
         self.batch = batch
         self.kv_quant = kv_quant
+        # mesh: every full-cache / retrieval attention routes through
+        # shard_map (ops/sp_attention.py) — heads over tp, and (shard_seq)
+        # the full cache's sequence axis over sp. The drafter stays
+        # replicated (the reference replicates its 68M drafter on every rank
+        # too, TP_llama.py draft path).
+        self.mesh = mesh
+        self.shard_seq = shard_seq
+        if mesh is not None:
+            from .parallel import sharding as shard_mod
+            from jax.sharding import NamedSharding, PartitionSpec
+            target_params = shard_mod.shard_params(target_params, mesh,
+                                                   target_cfg)
+            if draft_params is not None:
+                draft_params = jax.device_put(
+                    draft_params, NamedSharding(mesh, PartitionSpec()))
         self.t_params = target_params
         self.d_params = draft_params
 
@@ -103,21 +124,25 @@ class Engine:
 
         # --- prefill chunk (target): append T tokens, return logits -------
         def _prefill_t(params, ids, kv):
-            return llama.forward_append(cfg, params, ids, kv)[:2]
+            return llama.forward_append(cfg, params, ids, kv, mesh=mesh,
+                                        shard_seq=shard_seq)[:2]
         self._prefill_t = jax.jit(_prefill_t, donate_argnums=_dn(2))
 
         # --- last prefill token: append + build retrieval cache -----------
         def _build(params, ids, kv, rkv):
             logits, kv, rkv = llama.forward_append(
                 cfg, params, ids, kv, build_rkv=rkv, prefill=self.prefill,
-                chunk_size=sp.chunk_size, budget=sp.budget)
+                chunk_size=sp.chunk_size, budget=sp.budget, mesh=mesh,
+                shard_seq=shard_seq)
             return logits, kv, rkv
         self._build = jax.jit(_build, donate_argnums=_dn(2, 3))
 
         # --- AR decode step (baseline) -------------------------------------
         def _ar_step(params, kv, token, key):
             logits, kv, _ = llama.forward_append(cfg, params,
-                                                 token[:, None], kv)
+                                                 token[:, None], kv,
+                                                 mesh=mesh,
+                                                 shard_seq=shard_seq)
             probs = sampling.norm_logits(logits[:, -1], sp.temperature,
                                          sp.top_k, sp.top_p)
             key, k2 = jax.random.split(key)
@@ -144,21 +169,29 @@ class Engine:
                 return dkv
             self._prefill_d_scan = jax.jit(_prefill_d_scan,
                                            donate_argnums=_dn(2))
+            # ragged-remainder forward: ONE stable jit object (re-traces per
+            # new remainder shape, but compiled executables are cached — a
+            # fresh jax.jit per call would recompile every invocation)
+            self._prefill_d_rem = jax.jit(
+                functools.partial(llama.draft_forward, dcfg),
+                donate_argnums=_dn(2))
 
         self._triforce_step = jax.jit(
             functools.partial(_triforce_step, cfg, draft_cfg, sp,
-                              self.prefill, eos_token_id),
+                              self.prefill, eos_token_id, mesh, shard_seq),
             donate_argnums=_dn(2))
         self._retrieval_spec_step = jax.jit(
             functools.partial(_retrieval_spec_step, cfg, sp, self.prefill,
-                              eos_token_id),
+                              eos_token_id, mesh, shard_seq),
             donate_argnums=_dn(1))
 
         # --- whole-prefill scan: one XLA program for all full chunks -------
         def _prefill_scan(params, chunks, kv):
             def sbody(kv, ids):
                 _, kv, _ = llama.forward_append(cfg, params, ids, kv,
-                                                need_logits=False)
+                                                need_logits=False,
+                                                mesh=mesh,
+                                                shard_seq=shard_seq)
                 return kv, None
             kv, _ = jax.lax.scan(sbody, kv, chunks)
             return kv
@@ -196,13 +229,15 @@ class Engine:
 
         def _gen_triforce(max_len, stop_on_eos, t_params, d_params, state):
             return _gen(functools.partial(_triforce_step, cfg, draft_cfg, sp,
-                                          self.prefill, eos_token_id),
+                                          self.prefill, eos_token_id, mesh,
+                                          shard_seq),
                         max_len, stop_on_eos, sp.gamma + 2,
                         t_params, d_params, state)
 
         def _gen_retrieval(max_len, stop_on_eos, t_params, state):
             return _gen(functools.partial(_retrieval_spec_step, cfg, sp,
-                                          self.prefill, eos_token_id),
+                                          self.prefill, eos_token_id, mesh,
+                                          shard_seq),
                         max_len, stop_on_eos, sp.gamma + 2,
                         t_params, state)
 
@@ -212,7 +247,9 @@ class Engine:
             def body(i, c):
                 kv, token, key, buf = c
                 logits, kv, _ = llama.forward_append(cfg, params,
-                                                     token[:, None], kv)
+                                                     token[:, None], kv,
+                                                     mesh=mesh,
+                                                     shard_seq=shard_seq)
                 probs = sampling.norm_logits(logits[:, -1], sp.temperature,
                                              sp.top_k, sp.top_p)
                 key, k2 = jax.random.split(key)
@@ -229,6 +266,8 @@ class Engine:
             _gen_retrieval, static_argnums=(0, 1), donate_argnums=_dn(3))
         self._gen_ar = jax.jit(_gen_ar, static_argnums=(0,),
                                donate_argnums=_dn(2))
+        self._gen_helper = _gen
+        self._forced_progs = {}
 
     # ------------------------------------------------------------------
     # state construction / prefill drivers (host loops over jitted chunks)
@@ -247,9 +286,16 @@ class Engine:
             dkv = StreamingCache(k=jnp.zeros((0,), self.dtype),
                                  v=jnp.zeros((0,), self.dtype),
                                  seq_len=jnp.zeros((), jnp.int32))
-        return TriForceState(kv=kv, rkv=rkv, dkv=dkv,
-                             next_token=jnp.zeros((self.batch,), jnp.int32),
-                             key=key)
+        state = TriForceState(kv=kv, rkv=rkv, dkv=dkv,
+                              next_token=jnp.zeros((self.batch,), jnp.int32),
+                              key=key)
+        if self.mesh is not None:
+            from .parallel import sharding as shard_mod
+            st_sh = shard_mod.state_shardings(
+                self.mesh, self.target_cfg, self.draft_cfg,
+                shard_seq=self.shard_seq, quant=self.kv_quant)
+            state = jax.device_put(state, st_sh)
+        return state
 
     def prefill_target(self, state: TriForceState,
                        input_ids: jnp.ndarray) -> TriForceState:
@@ -306,9 +352,8 @@ class Engine:
         if n % c:
             rem = n % c
             dkv = streaming_evict_prefill(dkv, sp, c)
-            _, dkv = jax.jit(
-                functools.partial(llama.draft_forward, self.draft_cfg),
-                donate_argnums=(2,))(self.d_params, input_ids[:, -rem:], dkv)
+            _, dkv = self._prefill_d_rem(self.d_params, input_ids[:, -rem:],
+                                         dkv)
         return state.replace(dkv=dkv)
 
     # ------------------------------------------------------------------
@@ -336,6 +381,48 @@ class Engine:
         """Autoregressive generation as one dispatch."""
         return self._gen_ar(max_len, self.t_params, kv, token, key)
 
+    def generate_forced(self, state: TriForceState, max_len: int,
+                        alpha: float, mode: str = "retrieval",
+                        stop_on_eos: bool = False):
+        """Controlled-acceptance generation: every accept test becomes a
+        coin flip at rate ``alpha`` while ALL real compute runs (drafter
+        forwards, middle verifies, full-cache target verify, rollback, tail
+        refresh). Random weights cannot express trained-model acceptance
+        (NOTES_ROUND1.md), so this measures true end-to-end throughput at a
+        chosen alpha — the validation harness for the composed bench metric.
+        Output tokens are NOT lossless (the accept test is synthetic)."""
+        cfg, sp = self.target_cfg, self.spec
+        key = (round(float(alpha), 6), mode)
+        prog = self._forced_progs.get(key)
+        if prog is None:
+            if mode == "retrieval":
+                step = functools.partial(
+                    _retrieval_spec_step, cfg, sp, self.prefill,
+                    self.eos_token_id, self.mesh, self.shard_seq,
+                    force_accept=float(alpha))
+
+                def _g(max_len, stop_on_eos, t_params, state):
+                    return self._gen_helper(step, max_len, stop_on_eos,
+                                            sp.gamma + 2, t_params, state)
+            elif mode == "triforce":
+                step = functools.partial(
+                    _triforce_step, cfg, self.draft_cfg, sp, self.prefill,
+                    self.eos_token_id, self.mesh, self.shard_seq,
+                    force_accept=float(alpha))
+
+                def _g(max_len, stop_on_eos, t_params, d_params, state):
+                    return self._gen_helper(step, max_len, stop_on_eos,
+                                            sp.gamma + 2, t_params,
+                                            d_params, state)
+            else:
+                raise ValueError(mode)
+            prog = jax.jit(_g, static_argnums=(0, 1))
+            self._forced_progs[key] = prog
+        if mode == "retrieval":
+            return prog(max_len, stop_on_eos, self.t_params, state)
+        return prog(max_len, stop_on_eos, self.t_params, self.d_params,
+                    state)
+
     def triforce_step(self, state: TriForceState):
         return self._triforce_step(self.t_params, self.d_params, state)
 
@@ -348,7 +435,8 @@ class Engine:
 # ---------------------------------------------------------------------------
 
 def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
-                 t_params, d_params, state: TriForceState):
+                 mesh, t_params, d_params, state: TriForceState,
+                 force_accept=None):
     """Drafter <-> middle speculation loop (reference Middle_Spec,
     decoding.py:163-223) as a ``lax.while_loop``.
 
@@ -394,14 +482,21 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         # reject sample) — filter just those two
         m_logits, _ = llama.forward_spec(t_cfg, t_params, verify_tokens,
                                          state.rkv, kv_seq_len, sp.budget,
-                                         commit=False)
+                                         commit=False, mesh=mesh)
         two = jax.lax.dynamic_slice(
             m_logits[0], (n, jnp.int32(0)), (2, vocab))
         p2 = sampling.norm_logits(two, sp.temperature, -1, sp.top_p)
 
         r = jax.random.uniform(kr)
-        ratio = p2[0, tok] / jnp.maximum(q_n[tok], 1e-37)
-        accept = r < jnp.minimum(1.0, ratio)
+        if force_accept is None:
+            ratio = p2[0, tok] / jnp.maximum(q_n[tok], 1e-37)
+            accept = r < jnp.minimum(1.0, ratio)
+        else:
+            # controlled-acceptance validation: coin-flip accept at a FIXED
+            # rate while running every real forward — random weights cannot
+            # express trained-model acceptance (NOTES_ROUND1.md), so this
+            # measures true end-to-end throughput at a chosen alpha
+            accept = r < force_accept
 
         def on_accept(args):
             verify_tokens, gen_tokens, gen_probs, n, key = args
@@ -456,9 +551,10 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
 
 
 def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
-                             eos_token_id: int, t_params,
+                             eos_token_id: int, mesh, shard_seq, t_params,
                              state: TriForceState, gamma2, gen_tokens,
-                             gen_probs, key, has_draft: bool, d_cfg, d_params):
+                             gen_probs, key, has_draft: bool, d_cfg, d_params,
+                             force_accept=None):
     """Target full-cache verify + exact rejection sampling + cache commit.
     reference: decoding.py:84-141.
     """
@@ -469,7 +565,8 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
     verify_in = jnp.concatenate(
         [state.next_token[None].astype(jnp.int32),
          gen_tokens[None, :gamma + 1]], axis=1)          # [1, gamma+2]
-    logits, kv, _ = llama.forward_append(t_cfg, t_params, verify_in, state.kv)
+    logits, kv, _ = llama.forward_append(t_cfg, t_params, verify_in, state.kv,
+                                         mesh=mesh, shard_seq=shard_seq)
     p_all = sampling.norm_logits(logits[0], sp.temperature, sp.top_k,
                                  sp.top_p)               # [gamma+2, V]
 
@@ -482,7 +579,10 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         q_tok = gen_probs[i, tok]
         p_tok = p_all[i, tok]
         r = jax.random.uniform(kr)
-        accept = r < jnp.minimum(1.0, p_tok / jnp.maximum(q_tok, 1e-37))
+        if force_accept is None:
+            accept = r < jnp.minimum(1.0, p_tok / jnp.maximum(q_tok, 1e-37))
+        else:
+            accept = r < force_accept
 
         res = sampling.sample(ks, sampling.max_fn(p_all[i] - gen_probs[i]))
 
@@ -549,21 +649,24 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
 
 
 def _triforce_step(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
-                   prefill: int, eos_token_id: int,
-                   t_params, d_params, state: TriForceState):
+                   prefill: int, eos_token_id: int, mesh, shard_seq,
+                   t_params, d_params, state: TriForceState,
+                   force_accept=None):
     """One full TriForce outer iteration (decoding.py:70-141), jitted whole."""
-    mid = _middle_spec(t_cfg, d_cfg, sp, t_params, d_params, state)
+    mid = _middle_spec(t_cfg, d_cfg, sp, mesh, t_params, d_params, state,
+                       force_accept=force_accept)
     state = state.replace(key=mid["key"])
     new_state, stats = _outer_verify_and_commit(
-        t_cfg, sp, prefill, eos_token_id, t_params, state, mid["n"],
-        mid["gen_tokens"], mid["gen_probs"], mid["key"], True, d_cfg,
-        d_params)
+        t_cfg, sp, prefill, eos_token_id, mesh, shard_seq, t_params, state,
+        mid["n"], mid["gen_tokens"], mid["gen_probs"], mid["key"], True,
+        d_cfg, d_params, force_accept=force_accept)
     return new_state, stats.replace(mid_draft=mid["mid_draft"],
                                     mid_accept=mid["mid_accept"])
 
 
 def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
-                         eos_token_id: int, t_params, state: TriForceState):
+                         eos_token_id: int, mesh, shard_seq,
+                         t_params, state: TriForceState, force_accept=None):
     """Self-speculation step: the middle model (target weights over the
     retrieval cache) autoregressively drafts gamma tokens, the full-cache
     target verifies them — the minimum lossless slice (SURVEY.md §7.2 step 4;
@@ -583,7 +686,7 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         key, ks = jax.random.split(key)
         m_logits, _ = llama.forward_spec(t_cfg, t_params, verify_tokens,
                                          state.rkv, kv_seq_len, sp.budget,
-                                         commit=False)
+                                         commit=False, mesh=mesh)
         row = jax.lax.dynamic_slice(m_logits[0], (n, jnp.int32(0)),
                                     (1, vocab))
         p_n = sampling.norm_logits(row, sp.temperature, -1, sp.top_p)[0]
@@ -601,5 +704,6 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         (verify_tokens0, gen_tokens0, gen_probs0, state.key))
     state = state.replace(key=key)
     return _outer_verify_and_commit(
-        t_cfg, sp, prefill, eos_token_id, t_params, state, jnp.int32(gamma),
-        gen_tokens, gen_probs, key, False, None, None)
+        t_cfg, sp, prefill, eos_token_id, mesh, shard_seq, t_params, state,
+        jnp.int32(gamma), gen_tokens, gen_probs, key, False, None, None,
+        force_accept=force_accept)

@@ -43,6 +43,7 @@ from ..config import ModelConfig, SpecConfig
 from ..cache import (KVCache, RetrievalCache, StreamingCache,
                      quantize_tokens)
 from ..ops.attention import append_attention, append_attention_auto
+from ..ops.sp_attention import append_attention_sharded
 from ..ops import retrieval as retrieval_ops
 from . import rope
 
@@ -173,6 +174,7 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                    build_rkv: Optional[RetrievalCache] = None,
                    prefill: int = 0, chunk_size: int = 8, budget: int = 0,
                    tree_mask=None, need_logits: bool = True,
+                   mesh=None, shard_seq: bool = False,
                    ) -> Tuple[jnp.ndarray, KVCache, Optional[RetrievalCache]]:
     """Append ``T`` tokens to the full cache and attend causally over it.
 
@@ -219,9 +221,18 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         else:
             k_cache = k_all
             k_store = k_att  # rotated keys stored (modeling_llama.py:221-230)
-        ctx = append_attention_auto(q, k_cache, v_all, k_att, v_new,
-                                    k_len=seq_len0, new_mask=new_mask,
-                                    k_scale=ks_all, v_scale=vs_all)
+        if mesh is not None:
+            # sharded cache (tp heads, sp sequence): the Pallas kernel runs
+            # on the LOCAL shard inside shard_map; partials psum-merge over
+            # ICI (the reference's whole offloading tier, SURVEY.md §5.7)
+            ctx = append_attention_sharded(
+                mesh, q, k_cache, v_all, k_att, v_new, k_len=seq_len0,
+                new_mask=new_mask, k_scale=ks_all, v_scale=vs_all,
+                shard_seq=shard_seq)
+        else:
+            ctx = append_attention_auto(q, k_cache, v_all, k_att, v_new,
+                                        k_len=seq_len0, new_mask=new_mask,
+                                        k_scale=ks_all, v_scale=vs_all)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
@@ -271,7 +282,7 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 
 def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                  rkv: RetrievalCache, kv_seq_len: jnp.ndarray,
-                 budget: int, commit: bool = True,
+                 budget: int, commit: bool = True, mesh=None,
                  ) -> Tuple[jnp.ndarray, RetrievalCache]:
     """Middle-model verify: the gamma+1 tokens attend the budget region plus
     themselves (causally), and their KV lands in the scratch slots.
@@ -295,9 +306,16 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
         k_new = rope.apply_rope(k_new, cos, sin, positions)
-        ctx = append_attention_auto(q, k_all, v_all, k_new, v_new,
-                                    k_len=k_len, k_scale=ks_all,
-                                    v_scale=vs_all)
+        if mesh is not None:
+            # retrieval cache: heads over tp, sequence replicated — same
+            # wrapper, no cross-shard collective (shard_seq=False)
+            ctx = append_attention_sharded(
+                mesh, q, k_all, v_all, k_new, v_new, k_len=k_len,
+                k_scale=ks_all, v_scale=vs_all, shard_seq=False)
+        else:
+            ctx = append_attention_auto(q, k_all, v_all, k_new, v_new,
+                                        k_len=k_len, k_scale=ks_all,
+                                        v_scale=vs_all)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)

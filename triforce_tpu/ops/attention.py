@@ -36,16 +36,24 @@ Partials = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # m, l, acc
 
 def _update(qg, m, l, acc, k_blk, v_blk, valid):
     """One online-softmax accumulation step over a key block.
-    qg [B,Hkv,G,T,D] f32 (pre-scaled); k/v [B,Hkv,S_blk,D]; valid [T,S_blk].
+    qg [B,Hkv,G,T,D] pre-scaled, in MODEL dtype; k/v [B,Hkv,S_blk,D];
+    valid [T,S_blk].
+
+    Matmul OPERANDS stay in the model dtype (bf16 on TPU) with fp32
+    ACCUMULATION — an fp32-operand matmul runs the MXU at a fraction of
+    bf16 rate, which was ~3x of the round-1 prefill gap. Softmax state
+    (m, l, acc) is fp32 throughout, like flash-attn.
     """
-    sc = jnp.einsum("bhgtd,bhsd->bhgts", qg, k_blk.astype(jnp.float32))
+    sc = jnp.einsum("bhgtd,bhsd->bhgts", qg, k_blk.astype(qg.dtype),
+                    preferred_element_type=jnp.float32)
     sc = jnp.where(valid[None, None, None], sc, _NEG_INF)
     m_new = jnp.maximum(m, sc.max(axis=-1))
     alpha = jnp.exp(m - m_new)
     p = jnp.exp(sc - m_new[..., None])
     l = l * alpha + p.sum(axis=-1)
     acc = acc * alpha[..., None] + jnp.einsum(
-        "bhgts,bhsd->bhgtd", p, v_blk.astype(jnp.float32))
+        "bhgts,bhsd->bhgtd", p.astype(qg.dtype), v_blk.astype(qg.dtype),
+        preferred_element_type=jnp.float32)
     return m_new, l, acc
 
 
@@ -64,7 +72,8 @@ def attention_partials(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     hkv, s = k.shape[1], k.shape[2]
     g = hq // hkv
     scale = 1.0 / math.sqrt(d)
-    qg = (q.reshape(b, hkv, g, t, d).astype(jnp.float32)) * scale
+    qg = ((q.reshape(b, hkv, g, t, d).astype(jnp.float32)) * scale
+          ).astype(q.dtype)
 
     def valid_at(cols):
         tt, w = cols.shape
@@ -134,7 +143,8 @@ def new_block_partials(q: jnp.ndarray, k_new: jnp.ndarray,
     hkv = k_new.shape[1]
     g = hq // hkv
     scale = 1.0 / math.sqrt(d)
-    qg = (q.reshape(b, hkv, g, t, d).astype(jnp.float32)) * scale
+    qg = ((q.reshape(b, hkv, g, t, d).astype(jnp.float32)) * scale
+          ).astype(q.dtype)
     m0 = jnp.full((b, hkv, g, t), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, hkv, g, t), jnp.float32)
     acc0 = jnp.zeros((b, hkv, g, t, d), jnp.float32)
@@ -202,6 +212,18 @@ def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
                       # [Hkv, G*T, block] VMEM score tile — XLA path instead
         and jax.default_backend() == "tpu"
         and not os.environ.get("TRIFORCE_NO_PALLAS"))
+    if (not use_pallas and jax.default_backend() == "tpu"
+            and not os.environ.get("TRIFORCE_NO_PALLAS")
+            and cache_mask_fn is None and gt <= 64 and s >= 2048
+            and (s % 512 != 0 or q.shape[0] != 1)):
+        # a decode-shaped call lost the kernel to a mis-padded cache length
+        # or batch > 1 — ~10x decode bandwidth at stake; say so once per
+        # trace instead of silently degrading
+        import warnings
+        warnings.warn(
+            f"flash-decode kernel skipped (cache len {s} % 512 != 0 or "
+            f"batch {q.shape[0]} != 1); falling back to the XLA path",
+            stacklevel=2)
     if use_pallas:
         from .flash_decode import append_attention_pallas
         return append_attention_pallas(q, k_cache, v_cache, k_new, v_new,

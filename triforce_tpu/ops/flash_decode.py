@@ -126,6 +126,140 @@ def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
         o_ref[:] = acc / jnp.maximum(l, 1e-37)
 
 
+def _kernel_partials(klen_ref, q_ref, *refs, block: int, quant: bool):
+    """Cache-only online-softmax partials: like ``_kernel`` but WITHOUT the
+    new-token fold/normalisation — emits (m, l, acc) so a sequence-sharded
+    decode can psum-merge per-shard partials over ICI (ops/sp_attention.py).
+    The (m, l, acc) outputs double as the accumulators: their blocks stay
+    resident in VMEM across the sequential grid and write back once."""
+    if quant:
+        (qs_ref, k_ref, v_ref, ks_ref, vs_ref, m_ref, l_ref, acc_ref) = refs
+    else:
+        (k_ref, v_ref, m_ref, l_ref, acc_ref) = refs
+        ks_ref = vs_ref = qs_ref = None
+    i = pl.program_id(0)
+    k_len = klen_ref[0]
+    nb = pl.cdiv(k_len, block)
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i < nb)
+    def _():
+        hkv, gt, d = q_ref.shape
+        base = i * block
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, gt, block), 2) + base
+        valid = cols < k_len
+        if quant:
+            sc_i = jax.lax.dot_general(
+                q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            sc = (sc_i.astype(jnp.float32) * qs_ref[:][:, :, None]
+                  * ks_ref[:][:, None, :])
+        else:
+            sc = jax.lax.dot_general(
+                q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [Hkv, GT, block]
+        sc = jnp.where(valid, sc, _NEG_INF)
+        m = m_ref[:][:, :, None]
+        m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(sc - m_new)
+        l_ref[:] = l_ref[:] * alpha[:, :, 0] + p.sum(axis=-1)
+        if quant:
+            pf = p * vs_ref[:][:, None, :]
+            ps = jnp.max(jnp.abs(pf), axis=-1, keepdims=True) / 127.0
+            ps = jnp.maximum(ps, 1e-20)
+            p8 = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
+            pv_i = jax.lax.dot_general(
+                p8, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            pv = pv_i.astype(jnp.float32) * ps
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[:], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new[:, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def flash_decode_partials(q, k, v, k_len, block: int = 512,
+                          interpret: bool = False, k_scale=None,
+                          v_scale=None):
+    """Cache-only partials for sequence-sharded decode: q [Hkv, GT, D] vs
+    k/v [Hkv, S, D] (S % block == 0), bounded by traced ``k_len``. Returns
+    (m [Hkv, GT], l [Hkv, GT], acc [Hkv, GT, D]) fp32 — mergeable with
+    ``ops.attention.merge_partials`` across shards (after a psum/pmax) and
+    with the new-token block."""
+    hkv, gt, d = q.shape
+    s = k.shape[1]
+    assert s % block == 0, (s, block)
+    scale = 1.0 / math.sqrt(d)
+    nb_max = s // block
+
+    def kv_index(i, klen_ref):
+        last = jnp.maximum(pl.cdiv(klen_ref[0], block) - 1, 0)
+        return (0, jnp.minimum(i, last), 0)
+
+    quant = k_scale is not None
+    kernel = functools.partial(_kernel_partials, block=block, quant=quant)
+    kv_specs = ([pl.BlockSpec((hkv, gt), lambda i, *_: (0, 0),
+                              memory_space=pltpu.VMEM)]   # q scales
+                if quant else []) + [
+        pl.BlockSpec((hkv, block, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hkv, block, d), kv_index, memory_space=pltpu.VMEM),
+    ]
+    if quant:
+        kv_specs += [
+            pl.BlockSpec((hkv, block), lambda i, kl: kv_index(i, kl)[:2],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hkv, block), lambda i, kl: kv_index(i, kl)[:2],
+                         memory_space=pltpu.VMEM),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_max,),
+        in_specs=[
+            pl.BlockSpec((hkv, gt, d), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + kv_specs,
+        out_specs=(
+            pl.BlockSpec((hkv, gt), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hkv, gt), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hkv, gt, d), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # pre-scale once
+    args = [jnp.asarray(k_len, jnp.int32).reshape(1), q]
+    if quant:
+        qf = q.astype(jnp.float32)
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1) / 127.0, 1e-20)
+        q8 = jnp.clip(jnp.round(qf / qs[..., None]), -127, 127
+                      ).astype(jnp.int8)
+        args[1] = q8
+        args += [qs.astype(jnp.float32)]
+    args += [k, v]
+    if quant:
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((hkv, gt), jnp.float32),
+                   jax.ShapeDtypeStruct((hkv, gt), jnp.float32),
+                   jax.ShapeDtypeStruct((hkv, gt, d), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
                         block: int = 512, interpret: bool = False,

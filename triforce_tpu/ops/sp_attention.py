@@ -1,40 +1,65 @@
-"""Sequence-parallel decode attention: the KV cache sharded along the
-sequence axis across the mesh's ``sp`` axis, combined with per-shard
-online-softmax partials and a psum merge over ICI.
+"""Sharded append attention: the KV cache partitioned over the mesh
+(heads over ``tp``, optionally sequence over ``sp``), combined with
+per-shard online-softmax partials and a psum merge over ICI.
 
 This is the TPU-native replacement for the reference's CPU-offloading tier
 (SURVEY.md §2.4, §5.7): where the reference streams 64 GB of KV over PCIe
 layer by layer (cache.py:268-383, TP_llama.py:218-228), a pod slice holds
 the cache in HBM sharded over ``sp`` — each chip computes flash-decode
-partials (m, l, acc) over its local sequence shard, and one
-``pmax``/``psum`` pair merges them exactly (ops/attention.py partials are
-associative). Communication per token: two small collectives of
-[B, Hkv, G, T(+D)] floats — O(heads * head_dim), independent of context
-length.
+partials (m, l, acc) over its local sequence shard (the Pallas kernel runs
+INSIDE shard_map on local shapes, so it needs no GSPMD partitioning rule),
+and one ``pmax``/``psum`` pair merges them exactly (ops/attention.py
+partials are associative). Communication per decode forward: two small
+collectives of [B, Hkv, G, T(+D)] floats — O(heads * head_dim), independent
+of context length.
+
+The same wrapper also carries plain tensor parallelism (``shard_seq=False``:
+heads sharded, cache sequence replicated, no collective) so every mesh'd
+forward routes attention through one code path.
 """
 
 from __future__ import annotations
 
-import functools
+import os
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from .attention import attention_partials, new_block_partials, _NEG_INF
+from .attention import (attention_partials, new_block_partials,
+                        merge_partials, finalize)
 
 
-def _local_partials(q, k_shard, v_shard, k_len, shard_len, axis_name):
-    """Partials over this device's sequence shard, with the GLOBAL k_len
-    bound translated into the local frame."""
-    idx = jax.lax.axis_index(axis_name)
-    local_start = idx * shard_len
-    local_len = jnp.clip(k_len - local_start, 0, shard_len)
-    return attention_partials(q, k_shard, v_shard, k_len=local_len)
+def _pallas_ok(b: int, s_loc: int, gt: int) -> bool:
+    return (b == 1 and s_loc % 512 == 0 and s_loc >= 2048 and gt <= 64
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("TRIFORCE_NO_PALLAS"))
 
 
-def _merge_over_axis(p, axis_name):
+def _cache_partials_local(q, k, v, k_len, ks, vs):
+    """Online-softmax partials over one device's local cache shard, through
+    the Pallas flash-decode kernel when the local shapes are eligible.
+    Returns the [B, Hkv, G, T(,D)] layout of ``attention_partials``."""
+    b, hq, t, d = q.shape
+    hkv, s_loc = k.shape[1], k.shape[2]
+    g = hq // hkv
+    if _pallas_ok(b, s_loc, g * t):
+        from .flash_decode import flash_decode_partials, _pick_block
+        block = _pick_block(s_loc, hkv, d, g * t, 0, quant=ks is not None)
+        qh = q[0].reshape(hkv, g * t, d)
+        m, l, acc = flash_decode_partials(
+            qh, k[0], v[0], k_len, block=block,
+            k_scale=None if ks is None else ks[0],
+            v_scale=None if vs is None else vs[0])
+        return (m.reshape(1, hkv, g, t), l.reshape(1, hkv, g, t),
+                acc.reshape(1, hkv, g, t, d))
+    return attention_partials(q, k, v, k_len=k_len, k_scale=ks, v_scale=vs)
+
+
+def merge_partials_psum(p, axis_name: str):
+    """Exact cross-shard merge of per-shard partials: one pmax + one psum
+    pair over ICI (associative, order-independent)."""
     m, l, acc = p
     m_g = jax.lax.pmax(m, axis_name)
     scale = jnp.exp(m - m_g)
@@ -43,15 +68,20 @@ def _merge_over_axis(p, axis_name):
     return m_g, l_g, acc_g
 
 
-def sp_append_attention(mesh: Mesh, q, k_cache, v_cache, k_new, v_new, *,
-                        k_len, new_mask=None):
-    """Attention of T new tokens vs a sequence-sharded cache + themselves.
+def append_attention_sharded(mesh: Mesh, q, k_cache, v_cache, k_new, v_new,
+                             *, k_len, new_mask=None, k_scale=None,
+                             v_scale=None, shard_seq: bool = True):
+    """Attention of T new tokens vs a mesh-sharded cache + themselves.
 
-    q/k_new/v_new replicated over ``sp`` (heads may be sharded over ``tp``);
-    k_cache/v_cache sharded [B, Hkv, S/sp, D] on the ``sp`` axis. The
-    new-token block is merged AFTER the cross-shard psum on every device
-    (replicated compute, no extra comm). Returns attention output plus the
-    (k_new, v_new) commit left to the caller.
+    q/k_new/v_new: [B, H(q|kv), T, D], heads sharded over ``tp``, replicated
+    over ``sp``. k_cache/v_cache: [B, Hkv, S, D], heads over ``tp`` and —
+    when ``shard_seq`` — sequence over ``sp``; with ``shard_seq=False`` the
+    cache sequence is replicated over ``sp`` and no collective is issued
+    (pure head parallelism, e.g. the retrieval cache). Scale planes
+    [B, Hkv, S] shard alongside. ``k_len`` is the GLOBAL live-prefix bound;
+    each shard clamps it into its local frame. The new-token block is merged
+    AFTER the cross-shard psum on every device (replicated compute, no extra
+    comm); the (k_new, v_new) cache commit is left to the caller.
     """
     t = q.shape[2]
     tn = k_new.shape[2]
@@ -59,30 +89,45 @@ def sp_append_attention(mesh: Mesh, q, k_cache, v_cache, k_new, v_new, *,
         rows = jax.lax.broadcasted_iota(jnp.int32, (t, tn), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, tn), 1)
         new_mask = cols <= rows
+    new_mask = jnp.asarray(new_mask, bool)
     s = k_cache.shape[2]
     sp = mesh.shape["sp"]
-    assert s % sp == 0
-    shard_len = s // sp
+    if shard_seq:
+        assert s % sp == 0, (s, sp)
+    shard_len = s // sp if shard_seq else s
+    quant = k_scale is not None
 
-    def inner(q, k_shard, v_shard, k_new, v_new, k_len):
-        p = _local_partials(q, k_shard, v_shard, k_len, shard_len, "sp")
-        m, l, acc = _merge_over_axis(p, "sp")
+    def inner(q, k_shard, v_shard, k_new, v_new, new_mask, k_len, *scales):
+        ks, vs = scales if quant else (None, None)
+        if shard_seq:
+            idx = jax.lax.axis_index("sp")
+            local_len = jnp.clip(k_len - idx * shard_len, 0, shard_len)
+        else:
+            local_len = k_len
+        p = _cache_partials_local(q, k_shard, v_shard, local_len, ks, vs)
+        if shard_seq:
+            p = merge_partials_psum(p, "sp")
         pn = new_block_partials(q, k_new, v_new, new_mask)
-        mn, ln, accn = pn
-        m2 = jnp.maximum(m, mn)
-        a1 = jnp.exp(m - m2)
-        a2 = jnp.exp(mn - m2)
-        l2 = l * a1 + ln * a2
-        acc2 = acc * a1[..., None] + accn * a2[..., None]
-        out = acc2 / jnp.maximum(l2, 1e-37)[..., None]
-        b, hkv, g, t, d = out.shape
-        return out.reshape(b, hkv * g, t, d).astype(q.dtype)
+        return finalize(merge_partials(p, pn), q.dtype)
 
-    spec_rep = P(None, "tp", None, None)
-    spec_kv = P(None, "tp", "sp", None)
-    f = shard_map(inner, mesh=mesh,
-                  in_specs=(spec_rep, spec_kv, spec_kv, spec_rep, spec_rep,
-                            P()),
+    seq = "sp" if shard_seq else None
+    spec_rep = P("dp", "tp", None, None)
+    spec_kv = P("dp", "tp", seq, None)
+    in_specs = [spec_rep, spec_kv, spec_kv, spec_rep, spec_rep,
+                P(None, None), P()]
+    args = [q, k_cache, v_cache, k_new, v_new, new_mask,
+            jnp.asarray(k_len, jnp.int32)]
+    if quant:
+        in_specs += [P("dp", "tp", seq), P("dp", "tp", seq)]
+        args += [k_scale, v_scale]
+    f = shard_map(inner, mesh=mesh, in_specs=tuple(in_specs),
                   out_specs=spec_rep, check_rep=False)
-    return f(q, k_cache, v_cache, k_new, v_new,
-             jnp.asarray(k_len, jnp.int32))
+    return f(*args)
+
+
+def sp_append_attention(mesh: Mesh, q, k_cache, v_cache, k_new, v_new, *,
+                        k_len, new_mask=None):
+    """Back-compat alias: sequence-sharded append attention."""
+    return append_attention_sharded(mesh, q, k_cache, v_cache, k_new, v_new,
+                                    k_len=k_len, new_mask=new_mask,
+                                    shard_seq=True)

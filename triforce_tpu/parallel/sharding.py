@@ -67,8 +67,17 @@ def kv_shardings(mesh: Mesh, cfg: ModelConfig, shard_seq: bool = False):
     return NamedSharding(mesh, P(None, "dp", "tp", seq, None))
 
 
+def scale_shardings(mesh: Mesh, cfg: ModelConfig, shard_seq: bool = False):
+    """Sharding for an int8 cache's [L, B, H_kv, S] scale planes: same axes
+    as the codes minus head_dim."""
+    tp = mesh.shape["tp"]
+    assert cfg.num_kv_heads % tp == 0
+    seq = "sp" if shard_seq else None
+    return NamedSharding(mesh, P(None, "dp", "tp", seq))
+
+
 def state_shardings(mesh: Mesh, target_cfg: ModelConfig, draft_cfg,
-                    shard_seq: bool = False):
+                    shard_seq: bool = False, quant: bool = False):
     """Shardings for a TriForceState pytree (see engine.TriForceState)."""
     from ..engine import TriForceState  # circular-safe local import
     from ..cache import KVCache, RetrievalCache, StreamingCache
@@ -84,9 +93,16 @@ def state_shardings(mesh: Mesh, target_cfg: ModelConfig, draft_cfg,
     else:
         dkv_s = rep
     scalar = rep
+    kv_extra = {}
+    rkv_extra = {}
+    if quant:
+        kv_extra = {"k_scale": scale_shardings(mesh, target_cfg, shard_seq),
+                    "v_scale": scale_shardings(mesh, target_cfg, shard_seq)}
+        rs = scale_shardings(mesh, target_cfg, False)
+        rkv_extra = {"k_scale": rs, "v_scale": rs}
     return TriForceState(
-        kv=KVCache(k=full, v=full, seq_len=scalar),
-        rkv=RetrievalCache(k=rkv, v=rkv),
+        kv=KVCache(k=full, v=full, seq_len=scalar, **kv_extra),
+        rkv=RetrievalCache(k=rkv, v=rkv, **rkv_extra),
         dkv=StreamingCache(k=dkv_s, v=dkv_s, seq_len=scalar),
         next_token=scalar, key=scalar)
 
