@@ -23,6 +23,7 @@ materialises it, modeling_llama_68m.py:183-184).
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Tuple
 
@@ -30,6 +31,20 @@ import jax
 import jax.numpy as jnp
 
 _NEG_INF = jnp.float32(-1e30)
+
+# trace-time switch: vmapped (batched) forwards must not dispatch to the
+# Pallas kernel — under vmap the traced per-row shapes still look B=1, but
+# pallas_call batching over a scalar-prefetch grid is not supported here.
+_PALLAS_DISABLED = [False]
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    _PALLAS_DISABLED[0] = True
+    try:
+        yield
+    finally:
+        _PALLAS_DISABLED[0] = False
 
 Partials = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # m, l, acc
 
@@ -211,8 +226,10 @@ def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
         and gt <= 64  # decode/verify shapes; prefill chunks would blow the
                       # [Hkv, G*T, block] VMEM score tile — XLA path instead
         and jax.default_backend() == "tpu"
+        and not _PALLAS_DISABLED[0]
         and not os.environ.get("TRIFORCE_NO_PALLAS"))
     if (not use_pallas and jax.default_backend() == "tpu"
+            and not _PALLAS_DISABLED[0]
             and not os.environ.get("TRIFORCE_NO_PALLAS")
             and cache_mask_fn is None and gt <= 64 and s >= 2048
             and (s % 512 != 0 or q.shape[0] != 1)):
