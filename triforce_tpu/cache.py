@@ -152,13 +152,19 @@ def init_retrieval(cfg: ModelConfig, spec: SpecConfig, batch: int = 1,
 
 
 def init_tree_retrieval(cfg: ModelConfig, budget: int, tree_size: int,
-                        batch: int = 1, dtype=jnp.bfloat16) -> RetrievalCache:
+                        batch: int = 1, dtype=jnp.bfloat16,
+                        quant: bool = False) -> RetrievalCache:
     """Tree-speculation variant: ``budget`` selected slots + ``tree_size``
     scratch slots addressed by (static) storage ids.
     reference: cache.py:385-483 (DistributedRetrievalCache_Seqouia,
     real_budget = max_budget + tree_size at cache.py:408)."""
     real = budget + tree_size
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, real, cfg.head_dim)
+    if quant:
+        return RetrievalCache(k=jnp.zeros(shape, jnp.int8),
+                              v=jnp.zeros(shape, jnp.int8),
+                              k_scale=jnp.zeros(shape[:4], jnp.float32),
+                              v_scale=jnp.zeros(shape[:4], jnp.float32))
     return RetrievalCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 

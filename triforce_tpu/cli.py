@@ -58,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--tree_depth", type=int, default=8)
     p.add_argument("--tree_accept", type=float, default=0.8,
                    help="modeled acceptance rate for the tree planner")
+    p.add_argument("--ssl", type=int, default=0,
+                   help="self-speculation layers: during tree grow, layers "
+                        "< ssl attend the FULL cache (reference "
+                        "TP_llama_tree.py:405-425 hybrid attention)")
     p.add_argument("--grow_map", default="",
                    help="planned grow-map JSON (tree/planner.py); overrides "
                         "--tree_size/--tree_depth/--tree_accept")
@@ -146,9 +150,6 @@ def main(argv=None):
             raise SystemExit(
                 f"--tp {args.tp} does not divide num_kv_heads "
                 f"{t_cfg.num_kv_heads}; put the surplus on --sp instead")
-        if args.mode == "tree":
-            raise SystemExit("--tp/--sp with --mode tree lands with the "
-                             "sharded TreeEngine; use triforce/retrieval/ar")
         mesh = mesh_mod.make_mesh(tp=args.tp, sp=args.sp)
 
     print_config(mode=args.mode, model=args.model, prefill=args.prefill,
@@ -178,7 +179,9 @@ def main(argv=None):
             t_cfg, gm, t_params, prefill=args.prefill,
             max_cache_len=args.prefill + args.gen_len + 2 * gm.size,
             budget=args.budget, chunk_size=args.chunk_size,
-            temperature=args.temp, top_p=args.top_p, dtype=dtype)
+            temperature=args.temp, top_p=args.top_p, dtype=dtype,
+            kv_quant=args.kv_dtype == "int8", ssl=args.ssl,
+            mesh=mesh, shard_seq=args.sp > 1)
         res = tree_decode(engine, ids, max_len=args.gen_len, seed=args.seed)
     else:
         d_cfg = d_params = None

@@ -334,7 +334,10 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                       rkv: RetrievalCache, kv_seq_len: jnp.ndarray,
                       budget: int, depths, ancestor_mask, slot_start: int,
-                      ) -> Tuple[jnp.ndarray, RetrievalCache]:
+                      kv: Optional[KVCache] = None, ssl: int = 0,
+                      mesh=None, shard_seq: bool = False,
+                      ) -> Tuple[jnp.ndarray, RetrievalCache,
+                                 Optional[KVCache]]:
     """Middle-model forward of one speculation-tree frontier over the tree
     retrieval cache.
 
@@ -347,6 +350,15 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     static [T, tree_size] ancestor rows of these nodes: a query sees the
     whole budget region, its already-written tree ancestors, and itself
     (tensor_op.py:230-272, TP_Attention_Tree_Retrieval).
+
+    ``ssl`` (self-speculation layers): the first ``ssl`` layers attend the
+    FULL cache (prefix + their tree ancestors) instead of the retrieval
+    cache, and write their tree-node KV at full-cache slots
+    ``kv_seq_len + slot_start ..`` — the reference's hybrid
+    ``layer_compute_ssl`` path (TP_llama_tree.py:405-425,
+    cache.py:320-331 ssl_update). Requires ``kv``; the outer verify later
+    overwrites the same slots with identical values, so commit semantics
+    are unchanged. Quantized caches supported throughout.
     """
     b, t = input_ids.shape
     cos, sin = rope.cos_sin_tables(cfg)
@@ -354,35 +366,93 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     amask = jnp.asarray(ancestor_mask, bool)
     write0 = jnp.asarray(budget + slot_start, jnp.int32)
     k_len = jnp.asarray(budget + slot_start, jnp.int32)
+    quant = rkv.quantized
+    assert ssl == 0 or kv is not None, "ssl layers need the full cache"
+    L = cfg.num_layers
 
     # cache part: budget region free, written tree slots per ancestor rows
-    def cache_mask(rows, cols):
-        rel = cols - budget
-        in_tree = rel >= 0
-        anc = amask[rows, jnp.clip(rel, 0, amask.shape[1] - 1)]
-        return jnp.where(in_tree, anc, True)
+    def mask_from(base):
+        def fn(rows, cols):
+            rel = cols - base
+            in_tree = rel >= 0
+            anc = amask[rows, jnp.clip(rel, 0, amask.shape[1] - 1)]
+            return jnp.where(in_tree, anc, True)
+        return fn
 
     # new part: frontier nodes are same-level — only self-attention
     new_mask = jnp.eye(t, dtype=bool)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
 
-    def body(x, xs):
-        lp, k_all, v_all = xs
-        h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-        q, k_new, v_new = _qkv(h, lp, cfg)
-        q = rope.apply_rope(q, cos, sin, positions)
-        k_new = rope.apply_rope(k_new, cos, sin, positions)
-        ctx = append_attention(q, k_all, v_all, k_new, v_new, k_len=k_len,
-                               cache_mask_fn=cache_mask, new_mask=new_mask)
-        x = x + _attn_out(ctx, lp)
-        h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-        x = x + _mlp(h, lp)
-        return x, (k_new, v_new)
+    def make_body(base, bound, use_quant, seq_sharded=False):
+        def body(x, xs):
+            lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, use_quant)
+            h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+            q, k_new, v_new = _qkv(h, lp, cfg)
+            q = rope.apply_rope(q, cos, sin, positions)
+            k_new = rope.apply_rope(k_new, cos, sin, positions)
+            if mesh is not None:
+                ctx = append_attention_sharded(
+                    mesh, q, k_all, v_all, k_new, v_new, k_len=bound,
+                    cache_mask_fn=mask_from(base), new_mask=new_mask,
+                    k_scale=ks_all, v_scale=vs_all, shard_seq=seq_sharded)
+            else:
+                ctx = append_attention(q, k_all, v_all, k_new, v_new,
+                                       k_len=bound,
+                                       cache_mask_fn=mask_from(base),
+                                       new_mask=new_mask, k_scale=ks_all,
+                                       v_scale=vs_all)
+            x = x + _attn_out(ctx, lp)
+            h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+            x = x + _mlp(h, lp)
+            return x, (k_new, v_new)
+        return body
 
-    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], rkv.k, rkv.v))
-    rk, rv = _commit(rkv.k, rkv.v, nk, nv, write0)
-    return _logits(cfg, params, x), rkv.replace(k=rk, v=rv)
+    def slice_layers(tree, lo, hi):
+        return jax.tree.map(lambda a: a[lo:hi], tree)
+
+    kv_out = kv
+    if ssl > 0:
+        # ssl layers: full-cache hybrid attention; committed tree nodes sit
+        # at [kv_seq_len, kv_seq_len + slot_start)
+        fq = kv.quantized
+        xs_ssl = (slice_layers(params["layers"], 0, ssl),) + tuple(
+            a[:ssl] for a in _cache_xs(kv))
+        x, (nk, nv) = jax.lax.scan(
+            make_body(kv_seq_len, kv_seq_len + slot_start, fq,
+                      seq_sharded=shard_seq), x, xs_ssl)
+        kv_out = _commit_partial(kv, nk, nv, kv_seq_len + slot_start,
+                                 layer0=0)
+    if ssl < L:
+        xs_r = (slice_layers(params["layers"], ssl, L),) + tuple(
+            a[ssl:] for a in _cache_xs(rkv))
+        x, (nk, nv) = jax.lax.scan(make_body(budget, k_len, quant), x, xs_r)
+        rkv = _commit_partial(rkv, nk, nv, write0, layer0=ssl)
+    return _logits(cfg, params, x), rkv, kv_out
+
+
+def _commit_partial(cache, new_k, new_v, start, layer0: int):
+    """Commit an [Lsub, B, H, T, D] new-KV stack into layers
+    [layer0, layer0 + Lsub) of a (possibly quantized) cache at slot
+    ``start``."""
+    zero = jnp.zeros((), jnp.int32)
+    l0 = jnp.asarray(layer0, jnp.int32)
+    idx = (l0, zero, zero, start.astype(jnp.int32), zero)
+    if cache.quantized:
+        k8, ks = quantize_tokens(new_k)
+        v8, vs = quantize_tokens(new_v)
+        ck = jax.lax.dynamic_update_slice(cache.k, k8, idx)
+        cv = jax.lax.dynamic_update_slice(cache.v, v8, idx)
+        idx4 = (l0, zero, zero, start.astype(jnp.int32))
+        return cache.replace(
+            k=ck, v=cv,
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, ks, idx4),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vs, idx4))
+    return cache.replace(
+        k=jax.lax.dynamic_update_slice(cache.k, new_k.astype(cache.k.dtype),
+                                       idx),
+        v=jax.lax.dynamic_update_slice(cache.v, new_v.astype(cache.v.dtype),
+                                       idx))
 
 
 # ---------------------------------------------------------------------------

@@ -37,13 +37,16 @@ def _pallas_ok(b: int, s_loc: int, gt: int) -> bool:
             and not os.environ.get("TRIFORCE_NO_PALLAS"))
 
 
-def _cache_partials_local(q, k, v, k_len, ks, vs):
+def _cache_partials_local(q, k, v, k_len, ks, vs, mask_fn=None):
     """Online-softmax partials over one device's local cache shard, through
     the Pallas flash-decode kernel when the local shapes are eligible.
     Returns the [B, Hkv, G, T(,D)] layout of ``attention_partials``."""
     b, hq, t, d = q.shape
     hkv, s_loc = k.shape[1], k.shape[2]
     g = hq // hkv
+    if mask_fn is not None:
+        return attention_partials(q, k, v, k_len=k_len, mask_fn=mask_fn,
+                                  k_scale=ks, v_scale=vs)
     if _pallas_ok(b, s_loc, g * t):
         from .flash_decode import flash_decode_partials, _pick_block
         block = _pick_block(s_loc, hkv, d, g * t, 0, quant=ks is not None)
@@ -70,7 +73,8 @@ def merge_partials_psum(p, axis_name: str):
 
 def append_attention_sharded(mesh: Mesh, q, k_cache, v_cache, k_new, v_new,
                              *, k_len, new_mask=None, k_scale=None,
-                             v_scale=None, shard_seq: bool = True):
+                             v_scale=None, shard_seq: bool = True,
+                             cache_mask_fn=None):
     """Attention of T new tokens vs a mesh-sharded cache + themselves.
 
     q/k_new/v_new: [B, H(q|kv), T, D], heads sharded over ``tp``, replicated
@@ -99,12 +103,19 @@ def append_attention_sharded(mesh: Mesh, q, k_cache, v_cache, k_new, v_new,
 
     def inner(q, k_shard, v_shard, k_new, v_new, new_mask, k_len, *scales):
         ks, vs = scales if quant else (None, None)
+        mask_fn = cache_mask_fn
         if shard_seq:
             idx = jax.lax.axis_index("sp")
-            local_len = jnp.clip(k_len - idx * shard_len, 0, shard_len)
+            local_start = idx * shard_len
+            local_len = jnp.clip(k_len - local_start, 0, shard_len)
+            if cache_mask_fn is not None:
+                # translate local column frame back to global coordinates
+                def mask_fn(rows, cols, _off=local_start):
+                    return cache_mask_fn(rows, cols + _off)
         else:
             local_len = k_len
-        p = _cache_partials_local(q, k_shard, v_shard, local_len, ks, vs)
+        p = _cache_partials_local(q, k_shard, v_shard, local_len, ks, vs,
+                                  mask_fn=mask_fn)
         if shard_seq:
             p = merge_partials_psum(p, "sp")
         pn = new_block_partials(q, k_new, v_new, new_mask)

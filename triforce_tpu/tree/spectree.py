@@ -61,12 +61,17 @@ class TreeEngine:
                  prefill: int, max_cache_len: int, budget: int = 4096,
                  chunk_size: int = 8, temperature: float = 0.6,
                  top_p: float = 0.9, eos_ids=(0, 2), dtype=jnp.bfloat16,
-                 prefill_chunk: int = 128, donate: bool = True):
+                 prefill_chunk: int = 128, donate: bool = True,
+                 kv_quant: bool = False, ssl: int = 0, mesh=None,
+                 shard_seq: bool = False):
         assert prefill % chunk_size == 0 and budget % chunk_size == 0
+        assert 0 <= ssl <= cfg.num_layers
         self.cfg = cfg
         self.gm = grow_map
-        self.params = params
         self.prefill = prefill
+        if mesh is not None and shard_seq:
+            spn = mesh.shape["sp"]
+            max_cache_len = -(-max_cache_len // spn) * spn
         self.max_cache_len = max_cache_len
         self.budget = budget
         self.chunk_size = chunk_size
@@ -74,23 +79,37 @@ class TreeEngine:
         self.top_p = top_p
         self.dtype = dtype
         self.prefill_chunk = prefill_chunk
+        self.kv_quant = kv_quant
+        # ssl ("self-speculation layers"): during GROW, layers < ssl attend
+        # the FULL cache instead of the tree retrieval cache — the
+        # reference's hybrid attention (TP_llama_tree.py:405-425)
+        self.ssl = ssl
+        self.mesh = mesh
+        self.shard_seq = shard_seq
+        if mesh is not None:
+            from ..parallel import sharding as shard_mod
+            params = shard_mod.shard_params(params, mesh, cfg)
+        self.params = params
 
         def _dn(*idx):
             return idx if donate else ()
 
         def _prefill_t(params, ids, kv):
-            return llama.forward_append(cfg, params, ids, kv)[:2]
+            return llama.forward_append(cfg, params, ids, kv, mesh=mesh,
+                                        shard_seq=shard_seq)[:2]
         self._prefill_t = jax.jit(_prefill_t, donate_argnums=_dn(2))
 
         def _build(params, ids, kv, rkv):
             return llama.forward_append(
                 cfg, params, ids, kv, build_rkv=rkv, prefill=prefill,
-                chunk_size=chunk_size, budget=budget)
+                chunk_size=chunk_size, budget=budget, mesh=mesh,
+                shard_seq=shard_seq)
         self._build = jax.jit(_build, donate_argnums=_dn(2, 3))
 
         self._step = jax.jit(
             functools.partial(_tree_step, cfg, grow_map, budget, prefill,
-                              temperature, top_p, tuple(eos_ids)),
+                              temperature, top_p, tuple(eos_ids), ssl, mesh,
+                              shard_seq),
             donate_argnums=_dn(1))
 
         max_path = int(grow_map.depth.max()) + 1
@@ -108,7 +127,8 @@ class TreeEngine:
                 state, buf, n, counters, stop = c
                 state, stats = _tree_step(cfg, grow_map, budget, prefill,
                                           temperature, top_p,
-                                          tuple(eos_ids), params, state)
+                                          tuple(eos_ids), ssl, mesh,
+                                          shard_seq, params, state)
                 buf = jax.lax.dynamic_update_slice(buf, stats.tokens, (n,))
                 n = n + stats.n_emitted
                 counters = counters + jnp.stack(
@@ -126,11 +146,34 @@ class TreeEngine:
         return self._gen(max_len, self.params, state)
 
     def init_state(self, key: jax.Array) -> TreeState:
-        kv = init_kv(self.cfg, self.max_cache_len, dtype=self.dtype)
+        kv = init_kv(self.cfg, self.max_cache_len, dtype=self.dtype,
+                     quant=self.kv_quant)
         rkv = init_tree_retrieval(self.cfg, self.budget, self.gm.size,
-                                  dtype=self.dtype)
-        return TreeState(kv=kv, rkv=rkv,
-                         next_token=jnp.zeros((1,), jnp.int32), key=key)
+                                  dtype=self.dtype, quant=self.kv_quant)
+        state = TreeState(kv=kv, rkv=rkv,
+                          next_token=jnp.zeros((1,), jnp.int32), key=key)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import sharding as shard_mod
+            full = shard_mod.kv_shardings(self.mesh, self.cfg,
+                                          shard_seq=self.shard_seq)
+            rshard = shard_mod.kv_shardings(self.mesh, self.cfg,
+                                            shard_seq=False)
+            rep = NamedSharding(self.mesh, P())
+            kv_extra = rkv_extra = {}
+            if self.kv_quant:
+                kv_extra = {"k_scale": shard_mod.scale_shardings(
+                                self.mesh, self.cfg, self.shard_seq),
+                            "v_scale": shard_mod.scale_shardings(
+                                self.mesh, self.cfg, self.shard_seq)}
+                rs = shard_mod.scale_shardings(self.mesh, self.cfg, False)
+                rkv_extra = {"k_scale": rs, "v_scale": rs}
+            sh = TreeState(
+                kv=KVCache(k=full, v=full, seq_len=rep, **kv_extra),
+                rkv=RetrievalCache(k=rshard, v=rshard, **rkv_extra),
+                next_token=rep, key=rep)
+            state = jax.device_put(state, sh)
+        return state
 
     def prefill_target(self, state: TreeState, input_ids) -> TreeState:
         """Chunked prefill + retrieval build + root sample
@@ -157,22 +200,26 @@ class TreeEngine:
 
 
 def _grow(cfg: ModelConfig, gm: GrowMap, budget: int, temp: float,
-          params, state: TreeState):
+          ssl: int, mesh, shard_seq, params, state: TreeState):
     """Build the token tree through the middle model
     (reference construct_grow_map / collective_grow_static,
-    SpecTree_TP.py:103-144)."""
+    SpecTree_TP.py:103-144). Layers < ssl attend the full cache (hybrid
+    attention, TP_llama_tree.py:405-425) and stage their tree-node KV in
+    it."""
     vocab = cfg.vocab_size
     size = gm.size
     kv_seq_len = state.kv.seq_len
     key = state.key
+    kv = state.kv
 
     verify_tokens = jnp.full((size,), JUNK_TOKEN, jnp.int32)
     verify_tokens = verify_tokens.at[0].set(state.next_token[0])
     draft_logits = jnp.zeros((size, vocab), jnp.float32)
 
-    logits, rkv = llama.forward_tree_spec(
+    logits, rkv, kv = llama.forward_tree_spec(
         cfg, params, state.next_token[None], state.rkv, kv_seq_len, budget,
-        depths=gm.depth[0:1], ancestor_mask=gm.mask[0:1], slot_start=0)
+        depths=gm.depth[0:1], ancestor_mask=gm.mask[0:1], slot_start=0,
+        kv=kv, ssl=ssl, mesh=mesh, shard_seq=shard_seq)
     draft_logits = draft_logits.at[0].set(logits[0, 0].astype(jnp.float32))
 
     start = 1
@@ -196,25 +243,27 @@ def _grow(cfg: ModelConfig, gm: GrowMap, budget: int, temp: float,
         verify_tokens = jax.lax.dynamic_update_slice(
             verify_tokens, tokens.astype(jnp.int32), (start,))
 
-        logits, rkv = llama.forward_tree_spec(
+        logits, rkv, kv = llama.forward_tree_spec(
             cfg, params, tokens[None], rkv, kv_seq_len, budget,
             depths=gm.depth[start:start + n_lvl],
-            ancestor_mask=gm.mask[start:start + n_lvl], slot_start=start)
+            ancestor_mask=gm.mask[start:start + n_lvl], slot_start=start,
+            kv=kv, ssl=ssl, mesh=mesh, shard_seq=shard_seq)
         draft_logits = jax.lax.dynamic_update_slice(
             draft_logits, logits[0].astype(jnp.float32), (start, 0))
         start += n_lvl
 
-    return verify_tokens, draft_logits, rkv, key
+    return verify_tokens, draft_logits, rkv, kv, key
 
 
 def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
-               temp: float, top_p: float, eos_ids, params,
-               state: TreeState):
+               temp: float, top_p: float, eos_ids, ssl, mesh, shard_seq,
+               params, state: TreeState):
     """One full tree round: grow -> verify -> accept walk -> commit.
     reference: SpecTree.construct_grow_map + verify (SpecTree_TP.py:103-236).
     """
-    verify_tokens, draft_logits, rkv, key = _grow(cfg, gm, budget, temp,
-                                                  params, state)
+    verify_tokens, draft_logits, rkv, kv_grown, key = _grow(
+        cfg, gm, budget, temp, ssl, mesh, shard_seq, params, state)
+    state = state.replace(kv=kv_grown)
     seq0 = state.kv.seq_len
     depth_c = jnp.asarray(gm.depth, jnp.int32)
     succ_c = jnp.asarray(gm.successors, jnp.int32)
@@ -224,7 +273,8 @@ def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
     # --- ONE full-cache verify over all tree nodes (SpecTree_TP.py:168-175)
     logits_t, kv, _ = llama.forward_append(
         cfg, params, verify_tokens[None], state.kv,
-        positions=seq0 + depth_c, tree_mask=gm.mask)
+        positions=seq0 + depth_c, tree_mask=gm.mask, mesh=mesh,
+        shard_seq=shard_seq)
     p_all = sampling.norm_logits(logits_t[0], temp, -1, top_p)  # [size, V]
 
     # --- accept walk with residual updates (SpecTree_TP.py:147-165,177-203)
