@@ -554,7 +554,7 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
                              eos_token_id: int, mesh, shard_seq, t_params,
                              state: TriForceState, gamma2, gen_tokens,
                              gen_probs, key, has_draft: bool, d_cfg, d_params,
-                             force_accept=None):
+                             force_accept=None, return_probs=False):
     """Target full-cache verify + exact rejection sampling + cache commit.
     reference: decoding.py:84-141.
     """
@@ -645,6 +645,11 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
                       accepted=count, resampled=resampled.astype(jnp.int32),
                       bonus=bonus.astype(jnp.int32), eos=eos_hit,
                       mid_draft=jnp.int32(0), mid_accept=jnp.int32(0))
+    if return_probs:
+        # expose the REAL middle (q) and target (p) distribution rows of
+        # this step for acceptance measurement (profiling.py) — positions
+        # share the step's actual context, unlike a synthetic probe
+        return new_state, stats, (gen_tokens, gen_probs, p_all)
     return new_state, stats
 
 
@@ -666,7 +671,8 @@ def _triforce_step(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
 
 def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
                          eos_token_id: int, mesh, shard_seq,
-                         t_params, state: TriForceState, force_accept=None):
+                         t_params, state: TriForceState, force_accept=None,
+                         return_probs=False):
     """Self-speculation step: the middle model (target weights over the
     retrieval cache) autoregressively drafts gamma tokens, the full-cache
     target verifies them — the minimum lossless slice (SURVEY.md §7.2 step 4;
@@ -706,4 +712,4 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
     return _outer_verify_and_commit(
         t_cfg, sp, prefill, eos_token_id, mesh, shard_seq, t_params, state,
         jnp.int32(gamma), gen_tokens, gen_probs, key, False, None, None,
-        force_accept=force_accept)
+        force_accept=force_accept, return_probs=return_probs)

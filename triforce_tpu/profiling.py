@@ -135,54 +135,59 @@ def measure_phase_times(engine, state, iters: int = 8) -> Dict[str, float]:
 
 def measure_acceptance_vector(engine, input_ids, max_branch: int = 4,
                               steps: int = 32, seed: int = 0) -> np.ndarray:
-    """Empirical per-position acceptance vector for the tree planner.
-
-    Repeatedly: middle model proposes ``max_branch`` candidate tokens
-    without replacement at one position; the target's top-p distribution
-    rejection-tests them in order (with residual updates, exactly the
-    SpecTree accept chain, SpecTree_TP.py:147-165). p[b] = fraction of
-    rounds where candidate b was the first accept. Replaces the reference's
-    shipped artifact tree/acceptance-rate-vector.pt with a measurable.
+    """Empirical per-branch acceptance vector for the tree planner, from the
+    REAL hierarchy: the engine runs genuine retrieval-speculation steps, and
+    every proposal position of every step exposes its actual middle (q) and
+    target (p) distribution rows (``return_probs`` path of the fused step).
+    For each real (q, p) pair, ``max_branch`` candidates are drawn without
+    replacement from q (Gumbel top-k, device-keyed) and rejection-tested in
+    order against p with residual updates — exactly the SpecTree accept
+    chain (SpecTree_TP.py:147-165). p[b] = fraction of positions where
+    candidate b was the first accept. Replaces the reference's shipped
+    artifact tree/acceptance-rate-vector.pt with a measurable; every random
+    draw is a threaded jax key (deterministic given ``seed``).
     """
+    import functools
+
+    from . import engine as engine_mod
     from .ops import sampling
 
     state = engine.init_state(jax.random.PRNGKey(seed))
     state = engine.prefill_target(state, input_ids)
     key = jax.random.PRNGKey(seed + 1)
+    gamma = engine.spec.gamma
+
+    debug_step = jax.jit(functools.partial(
+        engine_mod._retrieval_spec_step, engine.target_cfg, engine.spec,
+        engine.prefill, engine.eos_token_id, engine.mesh, engine.shard_seq,
+        return_probs=True))
 
     wins = np.zeros(max_branch + 1)
     total = 0
     for _ in range(steps):
-        state, stats = engine.retrieval_spec_step(state)
-        # reuse the step's middle vs target probabilities is not exposed;
-        # instead approximate with a one-position trial per step
-        key, k1, k2 = jax.random.split(key, 3)
-        # middle distribution at current position
-        from .models import llama
-        logits_m, _ = llama.forward_spec(
-            engine.target_cfg, engine.t_params,
-            state.next_token[None].repeat(engine.spec.gamma + 1, axis=1),
-            state.rkv, state.kv.seq_len, engine.spec.budget)
-        q = sampling.norm_logits(logits_m[0, 0], engine.spec.temperature,
-                                 -1, engine.spec.top_p)
-        logits_t, _, _ = llama.forward_append(
-            engine.target_cfg, engine.t_params, state.next_token[None],
-            state.kv)
-        p = sampling.norm_logits(logits_t[0, 0], engine.spec.temperature,
-                                 -1, engine.spec.top_p)
-        cand = sampling.gumbel_topk_without_replacement(k1, q, max_branch)
-        pn, qn = np.asarray(p), np.asarray(q, np.float64)
-        rng = np.random.default_rng(int(jax.random.randint(k2, (), 0, 2**31)))
-        accepted_at = 0
-        for b, tok in enumerate(np.asarray(cand), start=1):
-            if pn[tok] > rng.random() * max(qn[tok], 1e-37):
-                accepted_at = b
-                break
-            resid = np.maximum(pn - qn, 0)
-            pn = resid / max(resid.sum(), 1e-37)
-            qn[tok] = 0.0
-            qn = qn / max(qn.sum(), 1e-37)
-        if accepted_at:
-            wins[accepted_at] += 1
-        total += 1
+        state, stats, (toks, q_rows, p_rows) = debug_step(engine.t_params,
+                                                          state)
+        q_rows = np.asarray(q_rows, np.float64)   # [gamma+1, V] middle q
+        p_rows = np.asarray(p_rows, np.float64)   # [gamma+2, V] target p
+        for i in range(gamma):  # real proposal positions of this step
+            key, k1, k2 = jax.random.split(key, 3)
+            q, p = q_rows[i], p_rows[i]
+            if q.sum() <= 0:
+                continue
+            cand = np.asarray(sampling.gumbel_topk_without_replacement(
+                k1, jnp.asarray(q, jnp.float32), max_branch))
+            rs = np.asarray(jax.random.uniform(k2, (max_branch,)))
+            qn, pn = q.copy(), p.copy()
+            accepted_at = 0
+            for b, tok in enumerate(cand, start=1):
+                if pn[tok] > rs[b - 1] * max(qn[tok], 1e-37):
+                    accepted_at = b
+                    break
+                resid = np.maximum(pn - qn, 0)
+                pn = resid / max(resid.sum(), 1e-37)
+                qn[tok] = 0.0
+                qn = qn / max(qn.sum(), 1e-37)
+            if accepted_at:
+                wins[accepted_at] += 1
+            total += 1
     return wins / max(total, 1)
