@@ -123,3 +123,40 @@ def test_rope_apply_inverse_consistency():
         return float(jnp.sum(qm * kn))
     np.testing.assert_allclose(dot(5, 3), dot(12, 10), rtol=1e-5)
     assert abs(dot(5, 3) - dot(10, 3)) > 1e-6
+
+
+def test_rope_variants():
+    """All five reference-validated rope_scaling kinds produce finite,
+    distinct tables (config_yarn.py:184-193); yarn == ntk-by-parts up to
+    the mscale attention factor; dynamic kinds resolve their factor from
+    the table length."""
+    import numpy as np
+    from triforce_tpu.config import RopeConfig
+    from triforce_tpu.models import rope as R
+
+    base = dict(theta=10000.0, scaling_factor=4.0,
+                original_max_position_embeddings=1024)
+    tables = {}
+    for kind in ("llama", "linear", "dynamic", "ntk-by-parts", "yarn",
+                 "dynamic-yarn"):
+        rc = RopeConfig(kind=kind, **base)
+        cos, sin = R._cos_sin_tables_np(rc, 64, 4096)
+        assert np.isfinite(cos).all() and np.isfinite(sin).all(), kind
+        tables[kind] = cos
+
+    # yarn = ntk-by-parts * mscale (same interpolation, extra attn scale)
+    m = R.mscale_for(RopeConfig(kind="yarn", **base))
+    assert m > 1.0
+    np.testing.assert_allclose(tables["yarn"],
+                               tables["ntk-by-parts"] * np.float32(m),
+                               rtol=1e-5, atol=1e-5)
+    # linear interpolation compresses positions by the factor
+    np.testing.assert_allclose(tables["linear"][4], tables["llama"][1],
+                               rtol=1e-5, atol=1e-5)
+    # dynamic factor follows the table length: 4096/1024 = 4 == static 4.0
+    rc_dyn = RopeConfig(kind="dynamic-yarn", **base)
+    assert R._effective_scale(rc_dyn, 4096) == 4.0
+    assert R._effective_scale(rc_dyn, 8192) == 8.0
+    # kinds genuinely differ
+    assert not np.allclose(tables["dynamic"], tables["llama"])
+    assert not np.allclose(tables["yarn"], tables["llama"])

@@ -1,0 +1,82 @@
+"""INT8 weight-only quantization must be quality-neutral: per-channel
+scales keep logits close to bf16/f32 and the greedy token identical almost
+everywhere (beyond-reference feature; VERDICT round 1 item 8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from triforce_tpu import config as C
+from triforce_tpu.cache import init_kv
+from triforce_tpu.config import SpecConfig
+from triforce_tpu.engine import Engine
+from triforce_tpu.models import llama
+
+CFG = C.TINY_TARGET
+
+
+def test_quantized_logits_close():
+    params = llama.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    qparams = llama.quantize_weights(params)
+    assert qparams["layers"]["wq"].dtype == jnp.int8
+    assert qparams["lm_head"].dtype == jnp.int8
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 24), 0,
+                             CFG.vocab_size)
+    kv0 = init_kv(CFG, max_len=32, dtype=jnp.float32)
+    ref, _, _ = llama.forward_append(CFG, params, ids, kv0)
+    kv1 = init_kv(CFG, max_len=32, dtype=jnp.float32)
+    got, _, _ = llama.forward_append(CFG, qparams, ids, kv1)
+
+    ref, got = np.asarray(ref[0]), np.asarray(got[0])
+    # per-position softmax distributions stay close
+    def sm(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+    tv = 0.5 * np.abs(sm(ref) - sm(got)).sum(-1)   # total variation per pos
+    assert tv.mean() < 0.05, tv.mean()
+    # greedy tokens nearly always identical
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree >= 0.9, agree
+
+
+def test_engine_weight_quant_decodes():
+    spec = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
+                      draft_recent_size=12, temperature=0.6, top_p=0.9)
+    params = llama.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    eng = Engine(CFG, spec, params, prefill=32, max_cache_len=96,
+                 dtype=jnp.float32, prefill_chunk=16, donate=False,
+                 kv_quant=True, weight_quant=True)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 32), 0,
+                             CFG.vocab_size)
+    st = eng.init_state(jax.random.PRNGKey(7))
+    st = eng.prefill_target(st, ids)
+    st, buf, n, counters, _ = eng.generate(st, 16, mode="retrieval")
+    toks = np.asarray(buf)[:int(n)]
+    assert int(n) >= 16
+    assert ((0 <= toks) & (toks < CFG.vocab_size)).all()
+
+
+def test_weight_quant_sharded():
+    """int8 weights + scale planes under a tp mesh."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from triforce_tpu.parallel import mesh as mesh_mod
+    cfg8 = CFG.with_(num_heads=8, num_kv_heads=8, head_dim=8, hidden_size=64)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg8,
+                               dtype=jnp.float32)
+    qparams = llama.quantize_weights(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0,
+                             cfg8.vocab_size)
+    kv0 = init_kv(cfg8, max_len=32, dtype=jnp.float32)
+    ref, _, _ = llama.forward_append(cfg8, qparams, ids, kv0)
+
+    m = mesh_mod.make_mesh(tp=8)
+    from triforce_tpu.parallel import sharding as shard_mod
+    sq = shard_mod.shard_params(qparams, m, cfg8)
+    kv1 = init_kv(cfg8, max_len=32, dtype=jnp.float32)
+    got, _, _ = jax.jit(lambda p, i, c: llama.forward_append(
+        cfg8, p, i, c, mesh=m))(sq, ids, kv1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)

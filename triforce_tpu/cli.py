@@ -50,6 +50,11 @@ def parse_args(argv=None):
     p.add_argument("--kv_dtype", "--kv-dtype", default="bf16",
                    choices=["bf16", "int8"], dest="kv_dtype",
                    help="KV-cache storage precision")
+    p.add_argument("--weight_dtype", "--weight-dtype", default="bf16",
+                   choices=["bf16", "int8"], dest="weight_dtype",
+                   help="target weight precision (int8 = per-channel "
+                        "weight-only quantization, halves the weight "
+                        "stream; beyond-reference)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel size (shards the KV cache)")
@@ -192,6 +197,7 @@ def main(argv=None):
             prefill=args.prefill,
             max_cache_len=args.prefill + 2 * (args.gen_len + spec.gamma + 2),
             dtype=dtype, kv_quant=args.kv_dtype == "int8",
+            weight_quant=args.weight_dtype == "int8",
             mesh=mesh, shard_seq=args.sp > 1)
         fn = {"triforce": decoding.triforce,
               "retrieval": decoding.retrieval_spec,

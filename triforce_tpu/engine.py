@@ -68,8 +68,8 @@ class Engine:
                  eos_token_id: int = 2, dtype=jnp.bfloat16,
                  prefill_chunk: int = 512, draft_prefill_chunk: int = 64,
                  batch: int = 1, donate: bool = True,
-                 kv_quant: bool = False, mesh=None,
-                 shard_seq: bool = False):
+                 kv_quant: bool = False, weight_quant: bool = False,
+                 mesh=None, shard_seq: bool = False):
         assert prefill % spec.chunk_size == 0
         # align caches to the Pallas DMA blocks (flash_decode._pick_block):
         # the quantized path needs lane-divisible (x128) blocks that divide
@@ -106,6 +106,12 @@ class Engine:
         # too, TP_llama.py draft path).
         self.mesh = mesh
         self.shard_seq = shard_seq
+        self.weight_quant = weight_quant
+        if weight_quant:
+            # int8 weight-only quantization of the TARGET (the drafter's
+            # 68M weights are noise next to the cache stream); per-channel
+            # scales, applied on matmul outputs (llama._wmm)
+            target_params = llama.quantize_weights(target_params)
         if mesh is not None:
             from .parallel import sharding as shard_mod
             from jax.sharding import NamedSharding, PartitionSpec
@@ -392,35 +398,36 @@ class Engine:
         chosen alpha — the validation harness for the composed bench metric.
         Output tokens are NOT lossless (the accept test is synthetic)."""
         cfg, sp = self.target_cfg, self.spec
-        key = (round(float(alpha), 6), mode)
-        prog = self._forced_progs.get(key)
+        prog = self._forced_progs.get(mode)
         if prog is None:
+            # alpha enters as a TRACED scalar, so every alpha shares ONE
+            # compiled program (remote compiles are minutes each)
             if mode == "retrieval":
-                step = functools.partial(
-                    _retrieval_spec_step, cfg, sp, self.prefill,
-                    self.eos_token_id, self.mesh, self.shard_seq,
-                    force_accept=float(alpha))
-
-                def _g(max_len, stop_on_eos, t_params, state):
+                def _g(max_len, stop_on_eos, alpha, t_params, state):
+                    step = functools.partial(
+                        _retrieval_spec_step, cfg, sp, self.prefill,
+                        self.eos_token_id, self.mesh, self.shard_seq,
+                        force_accept=alpha)
                     return self._gen_helper(step, max_len, stop_on_eos,
                                             sp.gamma + 2, t_params, state)
             elif mode == "triforce":
-                step = functools.partial(
-                    _triforce_step, cfg, self.draft_cfg, sp, self.prefill,
-                    self.eos_token_id, self.mesh, self.shard_seq,
-                    force_accept=float(alpha))
-
-                def _g(max_len, stop_on_eos, t_params, d_params, state):
+                def _g(max_len, stop_on_eos, alpha, t_params, d_params,
+                       state):
+                    step = functools.partial(
+                        _triforce_step, cfg, self.draft_cfg, sp,
+                        self.prefill, self.eos_token_id, self.mesh,
+                        self.shard_seq, force_accept=alpha)
                     return self._gen_helper(step, max_len, stop_on_eos,
                                             sp.gamma + 2, t_params,
                                             d_params, state)
             else:
                 raise ValueError(mode)
             prog = jax.jit(_g, static_argnums=(0, 1))
-            self._forced_progs[key] = prog
+            self._forced_progs[mode] = prog
+        a = jnp.float32(alpha)
         if mode == "retrieval":
-            return prog(max_len, stop_on_eos, self.t_params, state)
-        return prog(max_len, stop_on_eos, self.t_params, self.d_params,
+            return prog(max_len, stop_on_eos, a, self.t_params, state)
+        return prog(max_len, stop_on_eos, a, self.t_params, self.d_params,
                     state)
 
     def triforce_step(self, state: TriForceState):

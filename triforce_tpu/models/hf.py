@@ -26,9 +26,13 @@ def config_from_hf(cfg: dict) -> ModelConfig:
     ``rope_scaling`` schema of the reference's config_yarn.py:184-193)."""
     rs = cfg.get("rope_scaling") or {}
     kind = rs.get("type", "llama")
-    if kind in ("yarn", "dynamic-yarn"):
+    if kind in ("yarn", "dynamic-yarn", "ntk-by-parts", "linear", "dynamic"):
+        # every scaling type the reference's config validates
+        # (config_yarn.py:184-193) maps to its own rope.py kind; the
+        # dynamic kinds resolve their factor at table-build time
+        # (rope._effective_scale)
         rope = RopeConfig(
-            kind="yarn",
+            kind=kind,
             theta=float(cfg.get("rope_theta", 10000.0)),
             scaling_factor=float(rs.get("factor", 1.0)),
             original_max_position_embeddings=int(

@@ -91,19 +91,33 @@ def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (w * (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype))
 
 
+def _wmm(x, subs, lp, name, pet=None):
+    """Weight matmul with optional INT8 weight-only quantization: int8 codes
+    stream from HBM (half the bytes — decode is bandwidth-bound), convert to
+    the activation dtype in the matmul fusion, and the per-output-channel
+    scale multiplies the OUTPUT (mixed int8 x bf16 dots do not hit the MXU,
+    so quantization lives entirely in the weight load)."""
+    w = lp[name]
+    if w.dtype == jnp.int8:
+        out = jnp.einsum(subs, x, w.astype(x.dtype),
+                         preferred_element_type=pet)
+        return out * lp[name + "_scale"].astype(out.dtype)
+    return jnp.einsum(subs, x, w, preferred_element_type=pet)
+
+
 def _mlp(x, lp):
-    gate = jnp.einsum("bth,hi->bti", x, lp["w_gate"])
-    up = jnp.einsum("bth,hi->bti", x, lp["w_up"])
-    return jnp.einsum("bti,ih->bth", jax.nn.silu(gate) * up, lp["w_down"])
+    gate = _wmm(x, "bth,hi->bti", lp, "w_gate")
+    up = _wmm(x, "bth,hi->bti", lp, "w_up")
+    return _wmm(jax.nn.silu(gate) * up, "bti,ih->bth", lp, "w_down")
 
 
 def _qkv(x, lp, cfg: ModelConfig):
     b, t, _ = x.shape
-    q = jnp.einsum("bth,hd->btd", x, lp["wq"]).reshape(
+    q = _wmm(x, "bth,hd->btd", lp, "wq").reshape(
         b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = jnp.einsum("bth,hd->btd", x, lp["wk"]).reshape(
+    k = _wmm(x, "bth,hd->btd", lp, "wk").reshape(
         b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = jnp.einsum("bth,hd->btd", x, lp["wv"]).reshape(
+    v = _wmm(x, "bth,hd->btd", lp, "wv").reshape(
         b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     return q, k, v  # [B, H, T, D]
 
@@ -111,7 +125,7 @@ def _qkv(x, lp, cfg: ModelConfig):
 def _attn_out(ctx, lp):
     b, hq, t, d = ctx.shape
     flat = ctx.transpose(0, 2, 1, 3).reshape(b, t, hq * d)
-    return jnp.einsum("btd,dh->bth", flat, lp["wo"])
+    return _wmm(flat, "btd,dh->bth", lp, "wo")
 
 
 def _logits(cfg: ModelConfig, params, x) -> jnp.ndarray:
@@ -119,8 +133,32 @@ def _logits(cfg: ModelConfig, params, x) -> jnp.ndarray:
     # matmul in model dtype with fp32 accumulation, then cast — exactly the
     # reference's `lm_head(h).float()` (modeling_llama.py:408-409); f32
     # OPERANDS would be a 4x-slower multi-pass on the bf16-native MXU
-    return jnp.einsum("bth,hv->btv", x, params["lm_head"],
-                      preferred_element_type=jnp.float32)
+    return _wmm(x, "bth,hv->btv", params, "lm_head",
+                pet=jnp.float32)
+
+
+def quantize_weights(params):
+    """Symmetric per-output-channel INT8 quantization of every matmul weight
+    (layers + lm_head; embed and norms stay in model dtype). Beyond-reference
+    (the reference serves fp16 weights); halves the weight stream that floors
+    autoregressive decode. Scales are fp32 [.., out]."""
+    def q(w):
+        wf = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2) / 127.0, 1e-8)
+        codes = jnp.clip(jnp.round(wf / s[..., None, :]), -127, 127)
+        return codes.astype(jnp.int8), s
+
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        codes, s = q(layers[name])
+        layers[name] = codes
+        layers[name + "_scale"] = s
+    new = dict(params)
+    new["layers"] = layers
+    lm, ls = q(params["lm_head"])
+    new["lm_head"] = lm
+    new["lm_head_scale"] = ls
+    return new
 
 
 def _commit(cache_k, cache_v, new_k, new_v, start):

@@ -45,16 +45,45 @@ def _yarn_linear_ramp(lo: float, hi: float, dim: int) -> np.ndarray:
     return np.clip(ramp, 0.0, 1.0)
 
 
-def inv_freq_for(rope: RopeConfig, head_dim: int) -> np.ndarray:
+def _effective_scale(rope: RopeConfig, max_len: int | None) -> float:
+    """Scaling factor, with the DYNAMIC kinds resolved at table-build time.
+
+    The reference validates 'dynamic'/'dynamic-yarn' in its config
+    (config_yarn.py:184-193) but its modeling only implements classic +
+    static yarn; HF's dynamic variants recompute tables as the context
+    grows — which is inconsistent with rotated-key caches (earlier
+    positions' rotations would change under the cache). The static-shape
+    TPU design resolves the dynamic factor ONCE from the maximum planned
+    context (the cos/sin table length), which is both jit-friendly and
+    cache-consistent."""
+    if rope.kind in ("dynamic", "dynamic-yarn") and max_len:
+        return max(float(max_len) / rope.original_max_position_embeddings,
+                   1.0)
+    return rope.scaling_factor
+
+
+def inv_freq_for(rope: RopeConfig, head_dim: int,
+                 max_len: int | None = None) -> np.ndarray:
     """Per-pair inverse frequencies, fp32, shape [head_dim // 2]."""
     pos_freqs = rope.theta ** (
         np.arange(0, head_dim, 2, dtype=np.float32) / head_dim)
+    scale = _effective_scale(rope, max_len)
     if rope.kind == "llama":
         return 1.0 / pos_freqs
-    if rope.kind == "yarn":
-        # reference: models/modeling_llama.py:97-105
+    if rope.kind == "linear":
+        # HF linear position interpolation: positions divided by scale
+        return 1.0 / (scale * pos_freqs)
+    if rope.kind == "dynamic":
+        # NTK-aware dynamic scaling: grow the base so the highest frequency
+        # is untouched while low frequencies interpolate
+        base = rope.theta * (scale ** (head_dim / (head_dim - 2)))
+        return 1.0 / (base ** (
+            np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
+    if rope.kind in ("yarn", "dynamic-yarn", "ntk-by-parts"):
+        # reference: models/modeling_llama.py:97-105 (NTK-by-parts ramp;
+        # yarn = ntk-by-parts + mscale attention scaling)
         inv_extra = 1.0 / pos_freqs
-        inv_interp = 1.0 / (rope.scaling_factor * pos_freqs)
+        inv_interp = 1.0 / (scale * pos_freqs)
         low, high = _yarn_find_correction_range(
             rope.beta_fast, rope.beta_slow, head_dim, rope.theta,
             rope.original_max_position_embeddings)
@@ -64,20 +93,22 @@ def inv_freq_for(rope: RopeConfig, head_dim: int) -> np.ndarray:
     raise ValueError(f"Unknown RoPE kind {rope.kind!r}")
 
 
-def mscale_for(rope: RopeConfig) -> float:
-    if rope.kind == "yarn":
-        # reference: models/modeling_llama.py:92
-        return float(_yarn_get_mscale(rope.scaling_factor) * rope.attn_factor)
+def mscale_for(rope: RopeConfig, max_len: int | None = None) -> float:
+    if rope.kind in ("yarn", "dynamic-yarn"):
+        # reference: models/modeling_llama.py:92; ntk-by-parts is the same
+        # interpolation WITHOUT the attention mscale
+        return float(_yarn_get_mscale(_effective_scale(rope, max_len))
+                     * rope.attn_factor)
     return 1.0
 
 
 @functools.lru_cache(maxsize=16)
 def _cos_sin_tables_np(rope: RopeConfig, head_dim: int, max_len: int):
-    inv_freq = inv_freq_for(rope, head_dim)
+    inv_freq = inv_freq_for(rope, head_dim, max_len=max_len)
     t = np.arange(max_len, dtype=np.float32)
     freqs = np.outer(t, inv_freq)                      # [S, D/2]
     emb = np.concatenate([freqs, freqs], axis=-1)      # [S, D]
-    m = mscale_for(rope)
+    m = mscale_for(rope, max_len=max_len)
     return (np.cos(emb) * m).astype(np.float32), (np.sin(emb) * m).astype(
         np.float32)
 

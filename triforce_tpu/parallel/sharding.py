@@ -20,8 +20,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import ModelConfig
 
 
-def param_shardings(mesh: Mesh, cfg: ModelConfig):
-    """NamedSharding pytree matching ``llama.init_params`` structure.
+def param_shardings(mesh: Mesh, cfg: ModelConfig,
+                    weight_quant: bool = False):
+    """NamedSharding pytree matching ``llama.init_params`` structure
+    (plus the int8 per-channel scale leaves when ``weight_quant``).
 
     Any dim that does not divide by the tp size falls back to replicated
     (e.g. a vocab that is not a multiple of the mesh)."""
@@ -37,22 +39,36 @@ def param_shardings(mesh: Mesh, cfg: ModelConfig):
     hkv = cfg.num_kv_heads * cfg.head_dim
     L, v = cfg.num_layers, cfg.vocab_size
 
-    return {
+    layers = {
+        "wq": s((L, h, hq), None, None, "tp"),    # column-parallel
+        "wk": s((L, h, hkv), None, None, "tp"),
+        "wv": s((L, h, hkv), None, None, "tp"),
+        "wo": s((L, hq, h), None, "tp", None),    # row-parallel
+        "w_gate": s((L, h, inter), None, None, "tp"),
+        "w_up": s((L, h, inter), None, None, "tp"),
+        "w_down": s((L, inter, h), None, "tp", None),
+        "ln_attn": s((L, h), None, None),
+        "ln_mlp": s((L, h), None, None),
+    }
+    out = {
         "embed": s((v, h), None, None),
-        "layers": {
-            "wq": s((L, h, hq), None, None, "tp"),    # column-parallel
-            "wk": s((L, h, hkv), None, None, "tp"),
-            "wv": s((L, h, hkv), None, None, "tp"),
-            "wo": s((L, hq, h), None, "tp", None),    # row-parallel
-            "w_gate": s((L, h, inter), None, None, "tp"),
-            "w_up": s((L, h, inter), None, None, "tp"),
-            "w_down": s((L, inter, h), None, "tp", None),
-            "ln_attn": s((L, h), None, None),
-            "ln_mlp": s((L, h), None, None),
-        },
+        "layers": layers,
         "final_norm": s((h,), None),
         "lm_head": s((h, v), None, "tp"),   # vocab-split; logits gathered
     }
+    if weight_quant:
+        # int8 scale planes shard like their weight's OUTPUT axis
+        layers.update({
+            "wq_scale": s((L, hq), None, "tp"),
+            "wk_scale": s((L, hkv), None, "tp"),
+            "wv_scale": s((L, hkv), None, "tp"),
+            "wo_scale": s((L, h), None, None),      # row-parallel: out repl.
+            "w_gate_scale": s((L, inter), None, "tp"),
+            "w_up_scale": s((L, inter), None, "tp"),
+            "w_down_scale": s((L, h), None, None),
+        })
+        out["lm_head_scale"] = s((v,), "tp")
+    return out
 
 
 def kv_shardings(mesh: Mesh, cfg: ModelConfig, shard_seq: bool = False):
@@ -108,4 +124,6 @@ def state_shardings(mesh: Mesh, target_cfg: ModelConfig, draft_cfg,
 
 
 def shard_params(params, mesh: Mesh, cfg: ModelConfig):
-    return jax.device_put(params, param_shardings(mesh, cfg))
+    quant = "lm_head_scale" in params
+    return jax.device_put(params, param_shardings(mesh, cfg,
+                                                  weight_quant=quant))
