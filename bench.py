@@ -44,7 +44,8 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_engine(preset: str, args, with_draft: bool):
+def build_engine(preset: str, args, with_draft: bool,
+                 weight_quant: bool = False):
     import jax.numpy as jnp
     from triforce_tpu import config as C
     from triforce_tpu.config import SpecConfig
@@ -89,7 +90,8 @@ def build_engine(preset: str, args, with_draft: bool):
                     prefill=prefill,
                     max_cache_len=prefill + 3 * (gen_len + spec.gamma + 2),
                     dtype=dtype, prefill_chunk=args.prefill_chunk,
-                    kv_quant=args.kv_dtype == "int8", donate=False)
+                    kv_quant=args.kv_dtype == "int8",
+                    weight_quant=weight_quant, donate=False)
     return engine, prefill, gen_len
 
 
@@ -211,9 +213,19 @@ def main() -> None:
                    help="headline acceptance (reference reports 0.9+ at "
                         "budget 4K / chunk 8)")
     p.add_argument("--modes", default="retrieval,triforce")
+    p.add_argument("--weight-ar", action="store_true",
+                   help="also measure the AR floor with int8 weight-only "
+                        "quantization (extra engine + compile)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="pin the JAX platform (the axon sitecustomize "
+                        "force-registers the TPU regardless of "
+                        "JAX_PLATFORMS, so --platform cpu is the only "
+                        "reliable way to run the tiny preset off-chip)")
     args = p.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     backend = jax.default_backend()
     preset = args.preset
     if preset == "auto":
@@ -235,6 +247,19 @@ def main() -> None:
     for mode in modes:
         results[mode] = run_spec(engine, gen_len, mode, alphas,
                                  with_draft=mode == "triforce")
+
+    if args.weight_ar:
+        # AR floor with int8 weight-only quantization (beyond-reference
+        # config: halves the weight stream). Fresh engine; the headline
+        # speedup ratio stays at matched bf16 weights for fairness.
+        del engine
+        log("[bench] building int8-weight engine for the AR floor run")
+        w8_engine, _, _ = build_engine(preset, args, with_draft=False,
+                                       weight_quant=True)
+        _s, _ = timed_prefill(w8_engine, seed=5, with_draft=False,
+                              label=" w8 warmup(compile)")
+        del _s
+        results["ar_w8"] = run_ar(w8_engine, gen_len)
 
     a = str(args.alpha)
     best_mode = max(
@@ -261,6 +286,8 @@ def main() -> None:
             "prefill": prefill,
             "gen_len": gen_len,
             "ar": {k: round(v, 4) for k, v in results["ar"].items()},
+            **({"ar_w8": _round_tree(results["ar_w8"])}
+               if "ar_w8" in results else {}),
             **{m: _round_tree(results[m]) for m in modes},
         },
     }

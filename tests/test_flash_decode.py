@@ -91,3 +91,29 @@ def test_kernel_quantized_cache():
     # path dequantizes exactly), so tolerance is int8-rounding-sized
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-2)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_kernel_prefill_chunk_shapes(quant):
+    """Flash-PREFILL: a whole chunk of queries (gt = T >> 64) against the
+    committed prefix + causal self-block — the shape class the dispatch
+    guard admits for prefill after round 2."""
+    hq = hkv = 2
+    t, s, d, k_len = 128, 512, 32, 293
+    q, k, v, kn, vn = _mk(hq, hkv, t, s, d, seed=3)
+    ks = vs = None
+    if quant:
+        def q8(x):
+            sc = jnp.maximum(jnp.max(jnp.abs(x), axis=-1) / 127.0, 1e-8)
+            codes = jnp.clip(jnp.round(x / sc[..., None]), -127, 127)
+            return codes.astype(jnp.int8), sc
+        k, ks = q8(k)
+        v, vs = q8(v)
+    want = attention.append_attention(
+        q, k, v, kn, vn, k_len=jnp.asarray(k_len), k_scale=ks, v_scale=vs)
+    got = append_attention_pallas(
+        q, k, v, kn, vn, k_len=jnp.asarray(k_len), block=BLOCK,
+        interpret=True, k_scale=ks, v_scale=vs)
+    tol = 5e-2 if quant else 2e-5
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=tol, rtol=tol)

@@ -56,7 +56,8 @@ def test_chunk_zero_always_kept():
     k = rng.normal(size=(b, h, p, d)).astype(np.float32)
     # make chunk 0 maximally unattractive
     k[:, :, :cs] = -100.0 * np.sign(q.sum())
-    idx = retrieval.select_chunks(jnp.asarray(q), jnp.asarray(k), cs, 3)
+    sc = retrieval.chunk_scores_xla(jnp.asarray(q), jnp.asarray(k), cs)
+    idx = retrieval.select_chunks(sc, 3)
     assert (np.asarray(idx)[:, :, 0] == 0).all()
     assert (np.asarray(idx)[:, :, 1:] > 0).all()
 
@@ -67,7 +68,8 @@ def test_gqa_group_scoring():
     b, hkv, p, d, cs = 1, 2, 32, 8, 4
     q = rng.normal(size=(b, 2 * hkv, 1, d)).astype(np.float32)
     k = rng.normal(size=(b, hkv, p, d)).astype(np.float32)
-    idx = retrieval.select_chunks(jnp.asarray(q), jnp.asarray(k), cs, 4)
+    sc = retrieval.chunk_scores_xla(jnp.asarray(q), jnp.asarray(k), cs)
+    idx = retrieval.select_chunks(sc, 4)
     assert idx.shape == (b, hkv, 4)
 
     chunk_k = k.reshape(b, hkv, p // cs, cs, d).mean(axis=3)

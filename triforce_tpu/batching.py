@@ -215,12 +215,27 @@ class Scheduler:
         self._segment_fn = jax.jit(_seg, static_argnums=(2,),
                                    donate_argnums=(1,))
 
-        def _prefill_row(params, row_k, row_v, ids, row_len):
+        def _admit_row(params, full_k, full_v, ids, slot):
+            """Prefill ONE slot and write it back with a row-sized
+            dynamic_update_slice on the DONATED full cache — admission
+            touches O(row) bytes, never copies the whole [L,B,H,S,D]
+            buffers (a full copy is ~8 GB at 7B-128K scale). ``slot`` is
+            traced, so every slot shares this one compiled program."""
             from .cache import KVCache
-            kv = KVCache(k=row_k, v=row_v, seq_len=row_len)
+            zero = jnp.zeros((), jnp.int32)
+            shape = (full_k.shape[0], 1) + full_k.shape[2:]
+            row_k = jax.lax.dynamic_slice(
+                full_k, (zero, slot, zero, zero, zero), shape)
+            row_v = jax.lax.dynamic_slice(
+                full_v, (zero, slot, zero, zero, zero), shape)
+            kv = KVCache(k=row_k, v=row_v, seq_len=zero)
             logits, kv, _ = llama.forward_append(cfg, params, ids, kv)
-            return kv.k, kv.v, kv.seq_len, logits[:, -1]
-        self._prefill_row = jax.jit(_prefill_row, donate_argnums=(1, 2))
+            full_k = jax.lax.dynamic_update_slice(
+                full_k, kv.k, (zero, slot, zero, zero, zero))
+            full_v = jax.lax.dynamic_update_slice(
+                full_v, kv.v, (zero, slot, zero, zero, zero))
+            return full_k, full_v, kv.seq_len, logits[:, -1]
+        self._admit_row = jax.jit(_admit_row, donate_argnums=(1, 2))
 
     def submit(self, req: Request) -> None:
         self.queue.append(req)
@@ -231,19 +246,18 @@ class Scheduler:
                 continue
             req = self.queue.pop(0)
             ids = jnp.asarray(req.prompt, jnp.int32)[None]
-            # slot-local prefill through the single-sequence path
-            row_k = self.state.k[:, slot:slot + 1]
-            row_v = self.state.v[:, slot:slot + 1]
-            rk, rv, rlen, logits = self._prefill_row(
-                self.params, row_k, row_v, ids, jnp.zeros((), jnp.int32))
+            # slot-local prefill fused with the row write-back (donated
+            # full cache, one program for every slot)
+            ck, cv, rlen, logits = self._admit_row(
+                self.params, self.state.k, self.state.v, ids,
+                jnp.asarray(slot, jnp.int32))
             probs = sampling.norm_logits(logits, self.spec.temperature,
                                          self.spec.top_k, self.spec.top_p)
             key, ks = jax.random.split(self.state.key)
             tok = sampling.sample(ks, probs)[0].astype(jnp.int32)
             st = self.state
             self.state = st.replace(
-                k=st.k.at[:, slot:slot + 1].set(rk),
-                v=st.v.at[:, slot:slot + 1].set(rv),
+                k=ck, v=cv,
                 seq_lens=st.seq_lens.at[slot].set(rlen),
                 tokens=st.tokens.at[slot].set(tok),
                 live=st.live.at[slot].set(True),

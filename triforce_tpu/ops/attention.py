@@ -223,15 +223,16 @@ def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
     use_pallas = (
         cache_mask_fn is None and q.shape[0] == 1
         and s % 512 == 0 and s >= 2048
-        and gt <= 64  # decode/verify shapes; prefill chunks would blow the
-                      # [Hkv, G*T, block] VMEM score tile — XLA path instead
+        and gt <= 512  # decode/verify shapes AND prefill chunks; the block
+                       # picker shrinks the DMA block so the [Hkv, G*T,
+                       # block] score tile fits VMEM (flash_decode._pick_block)
         and jax.default_backend() == "tpu"
         and not _PALLAS_DISABLED[0]
         and not os.environ.get("TRIFORCE_NO_PALLAS"))
     if (not use_pallas and jax.default_backend() == "tpu"
             and not _PALLAS_DISABLED[0]
             and not os.environ.get("TRIFORCE_NO_PALLAS")
-            and cache_mask_fn is None and gt <= 64 and s >= 2048
+            and cache_mask_fn is None and gt <= 512 and s >= 2048
             and (s % 512 != 0 or q.shape[0] != 1)):
         # a decode-shaped call lost the kernel to a mis-padded cache length
         # or batch > 1 — ~10x decode bandwidth at stake; say so once per

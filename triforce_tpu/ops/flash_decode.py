@@ -362,13 +362,20 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
 def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int,
                 quant: bool = False) -> int:
     """Largest candidate block dividing the cache length whose
-    double-buffered K+V slabs fit the VMEM left after the resident tensors
-    (q, new KV, bias, fp32 accumulators, output): bigger DMAs amortize
-    per-iteration pipeline overhead (measured on v5e: 512 -> 40 GB/s,
-    4000 -> ~400 GB/s vs a ~440 GB/s read ceiling)."""
+    double-buffered K+V slabs AND the per-step [Hkv, GT, block] score
+    intermediates fit the VMEM left after the resident tensors (q, new KV,
+    bias, fp32 accumulators, output): bigger DMAs amortize per-iteration
+    pipeline overhead (measured on v5e: 512 -> 40 GB/s, 4000 -> ~400 GB/s).
+    For decode shapes (gt <= 64) the score term is noise; for prefill
+    chunks (gt = G*T up to 512) it dominates and pushes the block down."""
+    itemsize = 1 if quant else 2
     resident = hkv * gt * d * (2 + 4 + 4 + 4) + 2 * hkv * tn * d * 2         + gt * tn * 4
     budget = 56 * 1024 * 1024 - resident
-    cap = max(budget, 0) // (4 * 2 * hkv * d)
+    # per-block-unit bytes: double-buffered K+V fetches + the live score
+    # tile (fp32 scores + exp(p); the quantized path adds an int8 p8 copy)
+    per = (2 * 2 * hkv * d * itemsize
+           + hkv * gt * (4 + 2 + (1 if quant else 0)))
+    cap = max(budget, 0) // per
     # largest divisor of s under the VMEM cap; quantized fetches include
     # [Hkv, block] scale planes whose last dim must be lane-divisible (x128)
     step = 128 if quant else 8

@@ -16,18 +16,12 @@ import jax
 import jax.numpy as jnp
 
 
-def select_chunks(q: jnp.ndarray, k_prefill: jnp.ndarray,
-                  chunk_size: int, select_sets: int) -> jnp.ndarray:
-    """Score chunks by q . chunk_mean(k) and pick ``select_sets`` of them,
-    always keeping chunk 0 (attention sink) first.
+def chunk_scores_xla(q: jnp.ndarray, k_prefill: jnp.ndarray,
+                     chunk_size: int) -> jnp.ndarray:
+    """Portable chunk scoring: q . chunk_mean(k), GQA-group-averaged.
 
-    q:          [B, Hq, 1, D]   (the last prefill token's rotated query)
-    k_prefill:  [B, Hkv, P, D]  (rotated prefill keys; P % chunk_size == 0)
-    returns:    [B, Hkv, select_sets] int32 chunk indices.
-
-    reference: cache.py:154-162. With GQA (Hq > Hkv) scores are averaged over
-    each KV head's query group (the reference only runs MHA models where
-    Hq == Hkv, so this is an extension, not a deviation).
+    q [B, Hq, 1, D]; k_prefill [B, Hkv, P, D] (P % chunk_size == 0) ->
+    [B, Hkv, P // chunk_size] fp32.
     """
     b, hkv, p, d = k_prefill.shape
     hq = q.shape[1]
@@ -37,8 +31,53 @@ def select_chunks(q: jnp.ndarray, k_prefill: jnp.ndarray,
     chunk_k = k_prefill.reshape(b, hkv, chunks, chunk_size, d).mean(
         axis=3, dtype=jnp.float32)                       # [B,Hkv,C,D]
     qg = q.reshape(b, hkv, g, d).astype(jnp.float32)     # [B,Hkv,G,D]
-    scores = jnp.einsum("bhgd,bhcd->bhgc", qg, chunk_k).mean(axis=2)
+    return jnp.einsum("bhgd,bhcd->bhgc", qg, chunk_k).mean(axis=2)
 
+
+def chunk_scores(q: jnp.ndarray, k_layer: jnp.ndarray, prefill: int,
+                 chunk_size: int, k_scale=None) -> jnp.ndarray:
+    """Chunk scores over the live prefill, auto-dispatched: the fused Pallas
+    streaming kernel (ops/retrieval_kernel.py — one pass over the keys, no
+    chunk-mean or dequant intermediates) when eligible, else the XLA path.
+
+    q [B, Hq, 1, D]; k_layer [B, Hkv, S, D] (full cache slab; int8 codes +
+    k_scale [B, Hkv, S] when quantized) -> [B, Hkv, prefill // chunk_size].
+    """
+    import os
+    from .attention import _PALLAS_DISABLED
+    b, hkv, s, d = k_layer.shape
+    g = q.shape[1] // hkv
+    step = max(128, chunk_size)
+    use_pallas = (
+        b == 1 and s % step == 0 and prefill % chunk_size == 0
+        and jax.default_backend() == "tpu"
+        and not _PALLAS_DISABLED[0]
+        and not os.environ.get("TRIFORCE_NO_PALLAS"))
+    if use_pallas:
+        from .retrieval_kernel import chunk_scores_pallas
+        sc = chunk_scores_pallas(
+            q[0].reshape(hkv, g, d), k_layer[0], chunk=chunk_size,
+            prefill=prefill, k_scale=None if k_scale is None
+            else k_scale[0])
+        return sc[None]
+    k_prefill = k_layer[:, :, :prefill]
+    if k_scale is not None:
+        k_prefill = (k_prefill.astype(jnp.float32)
+                     * k_scale[:, :, :prefill, None])
+    return chunk_scores_xla(q, k_prefill, chunk_size)
+
+
+def select_chunks(scores: jnp.ndarray, select_sets: int) -> jnp.ndarray:
+    """Pick ``select_sets`` chunks from per-head scores, always keeping
+    chunk 0 (attention sink) first.
+
+    scores: [B, Hkv, C] fp32 -> [B, Hkv, select_sets] int32 chunk indices.
+
+    reference: cache.py:154-162. With GQA (Hq > Hkv) scores are averaged over
+    each KV head's query group (the reference only runs MHA models where
+    Hq == Hkv, so this is an extension, not a deviation).
+    """
+    b, hkv, _ = scores.shape
     # top-k over chunks 1.. (chunk 0 pinned; reference: cache.py:159-162)
     _, top_rest = jax.lax.top_k(scores[:, :, 1:], select_sets - 1)
     top_rest = top_rest + 1
@@ -92,12 +131,8 @@ def build_layer(q: jnp.ndarray, k_layer: jnp.ndarray, v_layer: jnp.ndarray,
     select_sets = budget // chunk_size
     k_prefill = k_layer[:, :, :prefill]
     v_prefill = v_layer[:, :, :prefill]
-    if k_scale is not None:
-        k_score = (k_prefill.astype(jnp.float32)
-                   * k_scale[:, :, :prefill, None])
-    else:
-        k_score = k_prefill
-    idx = select_chunks(q, k_score, chunk_size, select_sets)
+    scores = chunk_scores(q, k_layer, prefill, chunk_size, k_scale=k_scale)
+    idx = select_chunks(scores, select_sets)
     k_sel = gather_chunks(k_prefill, idx, chunk_size)
     v_sel = gather_chunks(v_prefill, idx, chunk_size)
     if k_scale is None:
