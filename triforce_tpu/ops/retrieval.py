@@ -95,12 +95,13 @@ def gather_chunks(cache_layer: jnp.ndarray, chunk_idx: jnp.ndarray,
     b, hkv, p, d = cache_layer.shape
     chunks = p // chunk_size
     s_sets = chunk_idx.shape[-1]
-    as_chunks = cache_layer.reshape(b, hkv, chunks, chunk_size, d)
-    idx = chunk_idx[..., None, None]  # [B,Hkv,S,1,1]
-    picked = jnp.take_along_axis(
-        as_chunks, jnp.broadcast_to(idx, (b, hkv, s_sets, chunk_size, d)),
-        axis=2)
-    return picked.reshape(b, hkv, s_sets * chunk_size, d)
+    # One flat 2D row gather ([B*Hkv*C, chunk*D] rows): measured 6-40x
+    # faster on TPU than the 5D take_along_axis form, whose XLA gather
+    # lowers catastrophically (178 ms/layer -> 4 ms at 63.5K/budget-4K).
+    rows = cache_layer.reshape(b * hkv * chunks, chunk_size * d)
+    base = jnp.arange(b * hkv, dtype=chunk_idx.dtype)[:, None] * chunks
+    flat = (chunk_idx.reshape(b * hkv, s_sets) + base).reshape(-1)
+    return rows[flat].reshape(b, hkv, s_sets * chunk_size, d)
 
 
 def gather_chunk_scales(scale_layer: jnp.ndarray, chunk_idx: jnp.ndarray,
@@ -109,12 +110,10 @@ def gather_chunk_scales(scale_layer: jnp.ndarray, chunk_idx: jnp.ndarray,
     b, hkv, p = scale_layer.shape
     chunks = p // chunk_size
     s_sets = chunk_idx.shape[-1]
-    as_chunks = scale_layer.reshape(b, hkv, chunks, chunk_size)
-    idx = chunk_idx[..., None]
-    picked = jnp.take_along_axis(
-        as_chunks, jnp.broadcast_to(idx, (b, hkv, s_sets, chunk_size)),
-        axis=2)
-    return picked.reshape(b, hkv, s_sets * chunk_size)
+    rows = scale_layer.reshape(b * hkv * chunks, chunk_size)
+    base = jnp.arange(b * hkv, dtype=chunk_idx.dtype)[:, None] * chunks
+    flat = (chunk_idx.reshape(b * hkv, s_sets) + base).reshape(-1)
+    return rows[flat].reshape(b, hkv, s_sets * chunk_size)
 
 
 def build_layer(q: jnp.ndarray, k_layer: jnp.ndarray, v_layer: jnp.ndarray,
