@@ -223,16 +223,19 @@ def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
     use_pallas = (
         cache_mask_fn is None and q.shape[0] == 1
         and s % 512 == 0 and s >= 2048
-        and gt <= 512  # decode/verify shapes AND prefill chunks; the block
-                       # picker shrinks the DMA block so the [Hkv, G*T,
-                       # block] score tile fits VMEM (flash_decode._pick_block)
+        and gt <= 128  # decode/verify/tree shapes only. Prefill chunks
+                       # (gt >= 256) measured FASTER on the XLA partials
+                       # path: 63.5K end-to-end prefill 5.5 s XLA vs 10.6 s
+                       # through the kernel (probes/_r2_prefill.py), and the
+                       # isolated crossover sits between gt=128 and 256
+                       # (probes/_r2_gt_crossover.py)
         and jax.default_backend() == "tpu"
         and not _PALLAS_DISABLED[0]
         and not os.environ.get("TRIFORCE_NO_PALLAS"))
     if (not use_pallas and jax.default_backend() == "tpu"
             and not _PALLAS_DISABLED[0]
             and not os.environ.get("TRIFORCE_NO_PALLAS")
-            and cache_mask_fn is None and gt <= 512 and s >= 2048
+            and cache_mask_fn is None and gt <= 128 and s >= 2048
             and (s % 512 != 0 or q.shape[0] != 1)):
         # a decode-shaped call lost the kernel to a mis-padded cache length
         # or batch > 1 — ~10x decode bandwidth at stake; say so once per
