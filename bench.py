@@ -88,10 +88,10 @@ def build_engine(preset: str, args, with_draft: bool,
     log(f"[bench] params initialised in {time.perf_counter() - t0:.1f}s")
     engine = Engine(cfg, spec, params, draft_cfg=d_cfg, draft_params=d_params,
                     prefill=prefill,
-                    max_cache_len=prefill + 3 * (gen_len + spec.gamma + 2),
+                    max_cache_len=prefill + 12 * (gen_len + spec.gamma + 2),
                     dtype=dtype, prefill_chunk=args.prefill_chunk,
                     kv_quant=args.kv_dtype == "int8",
-                    weight_quant=weight_quant, donate=False)
+                    weight_quant=weight_quant, donate=True)
     return engine, prefill, gen_len
 
 
@@ -138,13 +138,18 @@ def run_ar(engine, gen_len):
             "prefill_s": prefill_s}
 
 
-def _timed_generation(fn, state, gen_len):
-    """warmup (compile) -> timed run from the warmup's output state."""
-    st1, *_ = _read(fn(state))
+def _timed_generation(fn, state, gen_len, warm=True):
+    """Optional warmup (compile) -> timed run from the warmup's output
+    state. The engine donates cache buffers, so each call CONSUMES its
+    input state and at most one cache set is live (the 7b-proxy cache is
+    ~4.4 GB; keeping saved states OOMs the 16 GB chip). Returns the timed
+    run's output state so the caller can chain further measurements."""
+    if warm:
+        state, *_ = _read(fn(state))
     t0 = time.perf_counter()
-    _, buf, n, counters, _ = _read(fn(st1))
+    state, buf, n, counters, _ = _read(fn(state))
     dt = time.perf_counter() - t0
-    return n, counters, dt
+    return state, n, counters, dt
 
 
 def _read(out):
@@ -157,12 +162,12 @@ def _read(out):
 def run_spec(engine, gen_len, mode, alphas, with_draft):
     """Speculative decode: raw (real rejection test on random weights) +
     measured throughput at each forced acceptance alpha."""
-    state0, prefill_s = timed_prefill(engine, seed=23, with_draft=with_draft,
-                                      label=f" {mode}")
+    state, prefill_s = timed_prefill(engine, seed=23, with_draft=with_draft,
+                                     label=f" {mode}")
 
     res = {"prefill_s": prefill_s}
-    n, counters, dt = _timed_generation(
-        lambda s: engine.generate(s, gen_len, mode=mode), state0, gen_len)
+    state, n, counters, dt = _timed_generation(
+        lambda s: engine.generate(s, gen_len, mode=mode), state, gen_len)
     gen = n - 1
     steps, accepted, proposed = int(counters[0]), int(counters[1]), \
         int(counters[2])
@@ -176,10 +181,11 @@ def run_spec(engine, gen_len, mode, alphas, with_draft):
         f"{res['raw']['step_ms']:.1f} ms")
 
     res["forced"] = {}
-    for alpha in alphas:
-        n, counters, dt = _timed_generation(
+    for i, alpha in enumerate(alphas):
+        # alpha is traced (one compile for all alphas): warm only the first
+        state, n, counters, dt = _timed_generation(
             lambda s: engine.generate_forced(s, gen_len, alpha, mode=mode),
-            state0, gen_len)
+            state, gen_len, warm=i == 0)
         gen = n - 1
         steps = int(counters[0])
         acc_rate = int(counters[1]) / max(int(counters[2]), 1)
@@ -193,7 +199,7 @@ def run_spec(engine, gen_len, mode, alphas, with_draft):
             f"({1e3 * dt / max(gen, 1):.1f} ms/token), "
             f"{gen / max(steps, 1):.2f} tok/step, step "
             f"{1e3 * dt / max(steps, 1):.1f} ms")
-    del state0
+    del state
     return res
 
 
