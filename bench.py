@@ -203,6 +203,71 @@ def run_spec(engine, gen_len, mode, alphas, with_draft):
     return res
 
 
+def run_tree(preset: str, args):
+    """Sequoia tree mode (TreeEngine): raw measured tokens/s vs AR.
+    Tree speculation is SELF-speculation (middle = same weights over the
+    retrieval cache), so random-weight acceptance is meaningful here —
+    no forced-alpha variant needed (unlike the drafter hierarchy)."""
+    import jax, jax.numpy as jnp
+    from triforce_tpu import config as C
+    from triforce_tpu.models import llama
+    from triforce_tpu.tree import planner
+    from triforce_tpu.tree.spectree import TreeEngine
+
+    if preset == "tiny":
+        cfg, prefill, gen_len = C.TINY_TARGET, args.prefill or 64, \
+            args.gen_len or 32
+        budget, chunk, size, depth = 16, 4, 8, 4
+        dtype = jnp.float32
+    else:
+        cfg, prefill, gen_len = C.BENCH_7B_PROXY, args.prefill or 63488, \
+            args.gen_len or 128
+        budget, chunk, size, depth = 4096, 8, 64, 8
+        dtype = jnp.bfloat16
+
+    pvec = planner.modeled_acceptance_vector(0.8, 4)
+    T, choice = planner.plan_tree(pvec, size, depth)
+    gm = planner.build_grow_map(T, choice, size, depth)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    jax.block_until_ready(params)
+    engine = TreeEngine(
+        cfg, gm, params, prefill=prefill,
+        max_cache_len=prefill + 4 * (gen_len + 2 * gm.size),
+        budget=budget, chunk_size=chunk, temperature=0.6, top_p=0.9,
+        dtype=dtype, kv_quant=args.kv_dtype == "int8",
+        prefill_chunk=args.prefill_chunk)
+
+    def one_prefill(seed):
+        ids = jax.random.randint(jax.random.PRNGKey(seed), (1, prefill),
+                                 0, cfg.vocab_size)
+        t0 = time.perf_counter()
+        st = engine.init_state(jax.random.PRNGKey(seed))
+        st = engine.prefill_target(st, ids)
+        _ = int(st.next_token[0])
+        return st, time.perf_counter() - t0
+
+    _st, _ = one_prefill(seed=3)   # compile warm-up, never timed
+    del _st
+    st, prefill_s = one_prefill(seed=31)
+    st, *_ = _read(engine.generate(st, gen_len))        # generate compile
+    t0 = time.perf_counter()
+    _, buf, n, counters, _ = _read(engine.generate(st, gen_len))
+    dt = time.perf_counter() - t0
+    gen = n - 1
+    steps, nodes = int(counters[0]), int(counters[1])
+    res = {"prefill_s": prefill_s, "raw": {
+        "tokens_per_sec": gen / dt, "ms_per_token": 1e3 * dt / max(gen, 1),
+        "tokens_per_step": gen / max(steps, 1),
+        "step_ms": 1e3 * dt / max(steps, 1),
+        "tree_size": gm.size, "accepted_nodes_per_step":
+            nodes / max(steps, 1)}}
+    log(f"[bench] tree raw: {gen / dt:.2f} tok/s, "
+        f"{gen / max(steps, 1):.2f} tok/step, step "
+        f"{1e3 * dt / max(steps, 1):.1f} ms (tree_size {gm.size})")
+    del engine, params, st
+    return res
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="auto",
@@ -242,6 +307,8 @@ def main() -> None:
     modes = args.modes.split(",")
 
     results = {}
+    tree_mode = "tree" in modes
+    modes = [m for m in modes if m != "tree"]
     engine, prefill, gen_len = build_engine(preset, args,
                                             with_draft="triforce" in modes)
     # compile warm-up prefill with ids nobody times
@@ -253,6 +320,12 @@ def main() -> None:
     for mode in modes:
         results[mode] = run_spec(engine, gen_len, mode, alphas,
                                  with_draft=mode == "triforce")
+
+    if tree_mode:
+        # fresh engine AFTER the flat modes so only one cache set is live
+        del engine
+        results["tree"] = run_tree(preset, args)
+        engine = None
 
     if args.weight_ar:
         # AR floor with int8 weight-only quantization (beyond-reference
@@ -295,6 +368,8 @@ def main() -> None:
             **({"ar_w8": _round_tree(results["ar_w8"])}
                if "ar_w8" in results else {}),
             **{m: _round_tree(results[m]) for m in modes},
+            **({"tree": _round_tree(results["tree"])}
+               if "tree" in results else {}),
         },
     }
     print(json.dumps(out), flush=True)
