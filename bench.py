@@ -152,6 +152,16 @@ def _timed_generation(fn, state, gen_len, warm=True):
     return state, n, counters, dt
 
 
+def _settle(seconds: float = 10.0) -> None:
+    """Give the device allocator time to process async frees between
+    phases. Through the axon tunnel, buffer releases from a finished phase
+    land asynchronously; launching the next phase's compile+dispatch
+    immediately can transiently hold an extra cache set and OOM the chip."""
+    import jax
+    if jax.default_backend() == "tpu":
+        time.sleep(seconds)
+
+
 def _read(out):
     """Force completion via host readback of the token count."""
     state, buf, n, counters, stop = out
@@ -179,6 +189,7 @@ def run_spec(engine, gen_len, mode, alphas, with_draft):
     log(f"[bench] {mode} raw: {gen / dt:.2f} tok/s, acceptance "
         f"{res['raw']['acceptance_rate']:.3f}, step "
         f"{res['raw']['step_ms']:.1f} ms")
+    _settle()
 
     res["forced"] = {}
     for i, alpha in enumerate(alphas):
@@ -316,14 +327,17 @@ def main() -> None:
                               with_draft="triforce" in modes,
                               label=" warmup(compile)")
     del _state
+    _settle()
     results["ar"] = run_ar(engine, gen_len)
     for mode in modes:
+        _settle()
         results[mode] = run_spec(engine, gen_len, mode, alphas,
                                  with_draft=mode == "triforce")
 
     if tree_mode:
         # fresh engine AFTER the flat modes so only one cache set is live
         del engine
+        _settle(20)
         results["tree"] = run_tree(preset, args)
         engine = None
 
@@ -332,6 +346,7 @@ def main() -> None:
         # config: halves the weight stream). Fresh engine; the headline
         # speedup ratio stays at matched bf16 weights for fairness.
         del engine
+        _settle(20)
         log("[bench] building int8-weight engine for the AR floor run")
         w8_engine, _, _ = build_engine(preset, args, with_draft=False,
                                        weight_quant=True)
