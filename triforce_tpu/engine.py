@@ -125,6 +125,7 @@ class Engine:
 
         def _dn(*idx):
             return idx if donate else ()
+        self._donate = donate
 
         cfg, sp = target_cfg, spec
 
@@ -422,7 +423,12 @@ class Engine:
                                             d_params, state)
             else:
                 raise ValueError(mode)
-            prog = jax.jit(_g, static_argnums=(0, 1))
+            # donate the state like every other generation program — the
+            # forced dispatch otherwise allocates a SECOND full cache set
+            # (~4.8 GB at bench shapes) next to the live input state
+            dn = ((4,) if mode == "retrieval" else (5,)) \
+                if self._donate else ()
+            prog = jax.jit(_g, static_argnums=(0, 1), donate_argnums=dn)
             self._forced_progs[mode] = prog
         a = jnp.float32(alpha)
         if mode == "retrieval":
