@@ -61,3 +61,34 @@ def test_build_layer_dispatch_unchanged_off_tpu():
     v = jax.random.normal(jax.random.PRNGKey(9), (1, hkv, s, d), jnp.float32)
     out = retrieval.build_layer(q, k, v, prefill, chunk, budget)
     assert out[0].shape == (1, hkv, budget, d)
+
+
+def test_pick_block_invariants():
+    """pick_block must only return Mosaic-admissible blocks: a divisor of s,
+    chunk-aligned, with a lane-divisible output tile (block//chunk % 128)
+    unless the block spans the whole array. Regression: s=64512/chunk=8 used
+    to pick 8064 -> output tile 1008, rejected by the TPU lowering."""
+    from triforce_tpu.ops.retrieval_kernel import pick_block
+    for s in [64512, 65536, 63488, 64000, 4096, 8192, 1000, 66560]:
+        for chunk in [4, 8, 16, 32]:
+            for quant in [False, True]:
+                b = pick_block(s, 16, 128, chunk, quant)
+                if b is None:
+                    continue
+                assert s % b == 0, (s, chunk, b)
+                assert b % chunk == 0, (s, chunk, b)
+                assert (b // chunk) % 128 == 0 or b == s, (s, chunk, b)
+    # the regression shape gets a valid tiled block, not a fallback
+    b = pick_block(64512, 16, 128, 8, True)
+    assert b == 7168 and (b // 8) % 128 == 0
+
+
+def test_chunk_scores_admission_uses_valid_block():
+    """chunk_scores admission and the kernel agree: any s the dispatcher
+    would admit has a pick_block result the kernel's asserts accept."""
+    from triforce_tpu.ops.retrieval_kernel import pick_block
+    for s in range(512, 70000, 512):
+        b = pick_block(s, 16, 128, 8, True)
+        if b is not None:
+            assert s % b == 0 and b % 8 == 0
+            assert (b // 8) % 128 == 0 or b == s

@@ -45,11 +45,12 @@ def chunk_scores(q: jnp.ndarray, k_layer: jnp.ndarray, prefill: int,
     """
     import os
     from .attention import _PALLAS_DISABLED
+    from .retrieval_kernel import pick_block
     b, hkv, s, d = k_layer.shape
     g = q.shape[1] // hkv
-    step = max(128, chunk_size)
+    block = pick_block(s, hkv, d, chunk_size, k_scale is not None)
     use_pallas = (
-        b == 1 and s % step == 0 and prefill % chunk_size == 0
+        b == 1 and block is not None and prefill % chunk_size == 0
         and jax.default_backend() == "tpu"
         and not _PALLAS_DISABLED[0]
         and not os.environ.get("TRIFORCE_NO_PALLAS"))
@@ -57,8 +58,8 @@ def chunk_scores(q: jnp.ndarray, k_layer: jnp.ndarray, prefill: int,
         from .retrieval_kernel import chunk_scores_pallas
         sc = chunk_scores_pallas(
             q[0].reshape(hkv, g, d), k_layer[0], chunk=chunk_size,
-            prefill=prefill, k_scale=None if k_scale is None
-            else k_scale[0])
+            prefill=prefill, block=block,
+            k_scale=None if k_scale is None else k_scale[0])
         return sc[None]
     k_prefill = k_layer[:, :, :prefill]
     if k_scale is not None:

@@ -74,18 +74,25 @@ def _kernel(q_ref, *refs, block: int, chunk: int, prefill: int,
         preferred_element_type=jnp.float32)            # [Hkv, block/chunk]
 
 
-def _pick_block(s: int, hkv: int, d: int, chunk: int,
-                quant: bool) -> int:
-    """Largest divisor of ``s`` that is a multiple of ``chunk`` (and of the
-    128-lane width) whose double-buffered K slab fits comfortably in VMEM."""
+def pick_block(s: int, hkv: int, d: int, chunk: int,
+               quant: bool) -> int | None:
+    """Largest divisor of ``s`` whose double-buffered K slab fits
+    comfortably in VMEM and whose OUTPUT tile ``block // chunk`` is
+    lane-divisible (Mosaic requires output block last dims % 128 unless the
+    block spans the whole array — hence ``block % (128 * chunk) == 0``, or a
+    single-block grid). Returns None when no admissible block exists (the
+    caller falls back to the XLA path)."""
     per = hkv * d * (1 if quant else 2)
     cap = (64 * 1024 * 1024) // (2 * per)
-    step = max(128, chunk)
-    hi = (min(cap, 8192) // step) * step
+    hi_cap = min(cap, 8192)
+    step = 128 * chunk
+    hi = (hi_cap // step) * step
     for b in range(hi, step - 1, -step):
         if s % b == 0:
             return b
-    return step
+    if s <= hi_cap and s % chunk == 0:
+        return s   # one grid step: output block == whole array, no tiling
+    return None
 
 
 @functools.partial(jax.jit,
@@ -101,8 +108,12 @@ def chunk_scores_pallas(q, k, *, chunk: int, prefill: int,
     assert prefill % chunk == 0 and prefill <= s
     quant = k_scale is not None
     if block is None:
-        block = _pick_block(s, hkv, d, chunk, quant)
+        block = pick_block(s, hkv, d, chunk, quant)
+        assert block is not None, (s, chunk, "no admissible DMA block")
     assert s % block == 0 and block % chunk == 0, (s, block, chunk)
+    # Mosaic tiling constraint (interpret mode has no such restriction)
+    assert interpret or (block // chunk) % 128 == 0 or block == s, \
+        (block, chunk)
     nb = s // block
     # only blocks overlapping the live prefill do work; dead blocks would
     # write zeros we never read, so stop the grid at the prefill boundary

@@ -69,9 +69,15 @@ class TreeEngine:
         self.cfg = cfg
         self.gm = grow_map
         self.prefill = prefill
+        # DMA-friendly cache padding, same policy as Engine: the flash
+        # kernel wants divisor-rich lengths (int8 scale planes need x128
+        # lanes -> pad to 4096; bf16 does best around block 4000 on
+        # 512-aligned lengths). Per-shard lengths must stay block-aligned.
+        on_tpu = jax.default_backend() == "tpu"
+        pad_unit = (4096 if kv_quant else 512) if on_tpu else 1
         if mesh is not None and shard_seq:
-            spn = mesh.shape["sp"]
-            max_cache_len = -(-max_cache_len // spn) * spn
+            pad_unit *= mesh.shape["sp"]
+        max_cache_len = -(-max_cache_len // pad_unit) * pad_unit
         self.max_cache_len = max_cache_len
         self.budget = budget
         self.chunk_size = chunk_size
