@@ -294,6 +294,11 @@ def main() -> None:
     p.add_argument("--alpha", type=float, default=0.9,
                    help="headline acceptance (reference reports 0.9+ at "
                         "budget 4K / chunk 8)")
+    p.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+                   help="weight storage for ALL engines (AR baseline AND "
+                        "speculation — same dtype both sides, so the "
+                        "speedup stays apples-to-apples; int8 halves the "
+                        "weight stream, which the middle loop is bound by)")
     p.add_argument("--modes", default="retrieval,triforce")
     p.add_argument("--weight-ar", action="store_true",
                    help="also measure the AR floor with int8 weight-only "
@@ -320,8 +325,9 @@ def main() -> None:
     results = {}
     tree_mode = "tree" in modes
     modes = [m for m in modes if m != "tree"]
-    engine, prefill, gen_len = build_engine(preset, args,
-                                            with_draft="triforce" in modes)
+    engine, prefill, gen_len = build_engine(
+        preset, args, with_draft="triforce" in modes,
+        weight_quant=args.weights == "int8")
     # compile warm-up prefill with ids nobody times
     _state, _ = timed_prefill(engine, seed=7,
                               with_draft="triforce" in modes,
@@ -356,10 +362,13 @@ def main() -> None:
         results["ar_w8"] = run_ar(w8_engine, gen_len)
 
     a = str(args.alpha)
-    best_mode = max(
-        (m for m in modes),
-        key=lambda m: results[m]["forced"][a]["tokens_per_sec"])
-    head = results[best_mode]["forced"][a]
+    if modes:
+        best_mode = max(
+            modes,
+            key=lambda m: results[m]["forced"][a]["tokens_per_sec"])
+        head = results[best_mode]["forced"][a]
+    else:   # tree-only run: headline is the tree's raw measured throughput
+        best_mode, head = "tree", results["tree"]["raw"]
     speedup = head["tokens_per_sec"] / results["ar"]["tokens_per_sec"]
     baseline = 2.2  # reference on-chip E2E speedup (README.md:49-55)
     log(f"[bench] headline: {best_mode} at alpha={a}: "
@@ -373,6 +382,7 @@ def main() -> None:
         "vs_baseline": round(speedup / baseline, 4),
         "detail": {
             "kv_dtype": args.kv_dtype,
+            "weights": args.weights,
             "alpha": args.alpha,
             "headline_mode": best_mode,
             "preset": preset,

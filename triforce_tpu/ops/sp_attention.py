@@ -25,7 +25,10 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map            # jax >= 0.8
+except ImportError:                      # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from .attention import (attention_partials, new_block_partials,
                         merge_partials, finalize)
@@ -132,7 +135,7 @@ def append_attention_sharded(mesh: Mesh, q, k_cache, v_cache, k_new, v_new,
         in_specs += [P("dp", "tp", seq), P("dp", "tp", seq)]
         args += [k_scale, v_scale]
     f = shard_map(inner, mesh=mesh, in_specs=tuple(in_specs),
-                  out_specs=spec_rep, check_rep=False)
+                  out_specs=spec_rep)
     return f(*args)
 
 
