@@ -294,7 +294,7 @@ def main() -> None:
     p.add_argument("--alpha", type=float, default=0.9,
                    help="headline acceptance (reference reports 0.9+ at "
                         "budget 4K / chunk 8)")
-    p.add_argument("--weights", default="bf16", choices=["bf16", "int8"],
+    p.add_argument("--weights", default="int8", choices=["bf16", "int8"],
                    help="weight storage for ALL engines (AR baseline AND "
                         "speculation — same dtype both sides, so the "
                         "speedup stays apples-to-apples; int8 halves the "

@@ -39,7 +39,9 @@ from .config import ModelConfig, SpecConfig
 from .models import llama, rope
 from .ops import sampling
 
-_NEG_INF = jnp.float32(-1e30)
+_NEG_INF = -1e30   # python float: a module-level jnp scalar would
+# initialise the XLA backend at import, breaking jax.distributed
+# bring-up (must run before any backend use) on multi-host
 
 
 @struct.dataclass

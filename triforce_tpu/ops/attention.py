@@ -30,7 +30,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(-1e30)
+_NEG_INF = -1e30   # python float: a module-level jnp scalar would
+# initialise the XLA backend at import, breaking jax.distributed
+# bring-up (must run before any backend use) on multi-host
 
 # trace-time switch: vmapped (batched) forwards must not dispatch to the
 # Pallas kernel — under vmap the traced per-row shapes still look B=1, but

@@ -14,7 +14,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(-1e30)
+_NEG_INF = -1e30   # python float: a module-level jnp scalar would
+# initialise the XLA backend at import, breaking jax.distributed
+# bring-up (must run before any backend use) on multi-host
 
 
 def top_k_filter(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:

@@ -31,7 +31,9 @@ from ..ops import sampling
 from .planner import GrowMap
 
 JUNK_TOKEN = 100
-_NEG_INF = jnp.float32(-1e30)
+_NEG_INF = -1e30   # python float: a module-level jnp scalar would
+# initialise the XLA backend at import, breaking jax.distributed
+# bring-up (must run before any backend use) on multi-host
 
 
 @struct.dataclass
