@@ -246,6 +246,7 @@ def run_tree(preset: str, args):
         max_cache_len=prefill + 4 * (gen_len + 2 * gm.size),
         budget=budget, chunk_size=chunk, temperature=0.6, top_p=0.9,
         dtype=dtype, kv_quant=args.kv_dtype == "int8",
+        weight_quant=args.weights == "int8",
         prefill_chunk=args.prefill_chunk)
 
     def one_prefill(seed):

@@ -234,3 +234,28 @@ def test_tree_sharded_matches_single_device():
     m = mesh_mod.make_mesh(tp=2, sp=4)
     got = run(m, shard_seq=True)
     assert got == ref
+
+
+def test_tree_engine_weight_quant_runs():
+    """TreeEngine with int8 weight-only quantization: generation emits
+    tokens, commits paths, and the retrieval scratch stays consistent (same
+    policy as Engine(weight_quant=True); the tree grow levels are
+    weight-stream-bound, so this is the tree-mode fast configuration)."""
+    params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                               dtype=jnp.float32)
+    gm = small_grow_map()
+    engine = TreeEngine(TCFG, gm, params, prefill=PREFILL,
+                        max_cache_len=PREFILL + 64, budget=BUDGET,
+                        chunk_size=CHUNK, temperature=0.8, top_p=0.9,
+                        eos_ids=(0, 2), dtype=jnp.float32,
+                        prefill_chunk=16, donate=False, weight_quant=True)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, PREFILL), 3,
+                             TCFG.vocab_size)
+    state = engine.init_state(jax.random.PRNGKey(5))
+    state = engine.prefill_target(state, ids)
+    state, buf, n, counters, _ = engine.generate(state, 8)
+    n = int(n)
+    assert n >= 2
+    toks = np.asarray(buf)[:n]
+    assert ((0 <= toks) & (toks < TCFG.vocab_size)).all()
+    assert int(counters[0]) >= 1

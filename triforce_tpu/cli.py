@@ -185,7 +185,8 @@ def main(argv=None):
             max_cache_len=args.prefill + args.gen_len + 2 * gm.size,
             budget=args.budget, chunk_size=args.chunk_size,
             temperature=args.temp, top_p=args.top_p, dtype=dtype,
-            kv_quant=args.kv_dtype == "int8", ssl=args.ssl,
+            kv_quant=args.kv_dtype == "int8",
+            weight_quant=args.weight_dtype == "int8", ssl=args.ssl,
             mesh=mesh, shard_seq=args.sp > 1)
         res = tree_decode(engine, ids, max_len=args.gen_len, seed=args.seed)
     else:

@@ -64,8 +64,8 @@ class TreeEngine:
                  chunk_size: int = 8, temperature: float = 0.6,
                  top_p: float = 0.9, eos_ids=(0, 2), dtype=jnp.bfloat16,
                  prefill_chunk: int = 128, donate: bool = True,
-                 kv_quant: bool = False, ssl: int = 0, mesh=None,
-                 shard_seq: bool = False):
+                 kv_quant: bool = False, weight_quant: bool = False,
+                 ssl: int = 0, mesh=None, shard_seq: bool = False):
         assert prefill % chunk_size == 0 and budget % chunk_size == 0
         assert 0 <= ssl <= cfg.num_layers
         self.cfg = cfg
@@ -94,6 +94,11 @@ class TreeEngine:
         self.ssl = ssl
         self.mesh = mesh
         self.shard_seq = shard_seq
+        self.weight_quant = weight_quant
+        if weight_quant:
+            # int8 weight-only quantization (same policy as Engine): the
+            # grow levels are weight-stream-bound like the middle loop
+            params = llama.quantize_weights(params)
         if mesh is not None:
             from ..parallel import sharding as shard_mod
             params = shard_mod.shard_params(params, mesh, cfg)
