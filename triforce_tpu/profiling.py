@@ -74,62 +74,109 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def _time_fn(fn, iters: int = 8, warmup: int = 2) -> float:
-    out = None
-    for _ in range(warmup):
-        out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _time_chained(body, ids0, extra, n_lo: int = 4, n_hi: int = 20) -> float:
+    """Seconds per phase call, measured as the SLOPE between two fused
+    dispatch lengths.
+
+    A single dispatch through the remote-TPU tunnel costs ~60 ms of
+    round-trip — far more than most phases — and identical dispatches are
+    memoized, so per-call host timing measures the harness, not the device.
+    Instead the phase runs ``n`` times inside ONE ``lax.while_loop`` dispatch
+    (each iteration's input ids derived from the previous logits, so nothing
+    can be hoisted or replayed), with ``n`` traced: one compile, two timed
+    dispatches at n_lo/n_hi, and the slope (t_hi - t_lo)/(n_hi - n_lo)
+    cancels the fixed dispatch + readback overhead exactly."""
+
+    def chained(n, ids, *extra):
+        def loop(c):
+            i, ids = c
+            return i + 1, body(ids, *extra)
+
+        return jax.lax.while_loop(lambda c: c[0] < n, loop,
+                                  (jnp.int32(0), ids))[1]
+
+    n_hi = max(n_hi, 2)
+    n_lo = min(max(n_lo, 1), n_hi - 1)
+    f = jax.jit(chained)
+    _ = np.asarray(f(jnp.int32(1), ids0, *extra))      # compile + force
+    times = {}
+    for n in (n_lo, n_hi):
+        t0 = time.perf_counter()
+        _ = np.asarray(f(jnp.int32(n), ids0, *extra))  # readback = done
+        times[n] = time.perf_counter() - t0
+    # clamp to a tiny positive floor: a phase can never take literally 0 s,
+    # and downstream planners divide by these
+    return max(times[n_hi] - times[n_lo], 1e-9) / (n_hi - n_lo)
 
 
-def measure_phase_times(engine, state, iters: int = 8) -> Dict[str, float]:
+def measure_phase_times(engine, state, iters: int = 20) -> Dict[str, float]:
     """Per-phase seconds for a prefilled engine state. Keys:
     ``target_verify`` (full-cache forward of gamma+2 tokens), ``middle_step``
     (one retrieval-cache verify), ``draft_step`` (one drafter forward, if a
     drafter is configured), ``retrieval_build``, ``ar_step``.
-    State is NOT donated here (donate=False jit wrappers), so the caller's
-    state stays valid."""
+
+    Every phase is timed with ``_time_chained`` (fused repeats, slope
+    timing), which is valid both on directly attached devices and through a
+    dispatch tunnel. State is never donated; the caller's state stays valid.
+    ``iters`` is the long fused-dispatch length."""
     from .models import llama
-    from . import engine as engine_mod
 
     cfg, sp = engine.target_cfg, engine.spec
     out: Dict[str, float] = {}
     gamma = sp.gamma
+    vocab = cfg.vocab_size
+    n_lo = max(2, iters // 5)
 
-    verify_ids = jnp.zeros((1, gamma + 2), jnp.int32)
-    f_verify = jax.jit(lambda p, i, kv: llama.forward_append(cfg, p, i, kv)[0])
-    out["target_verify"] = _time_fn(
-        lambda: f_verify(engine.t_params, verify_ids, state.kv), iters)
+    def chain_ids(ids, logits):
+        # next input depends on this call's output: sequential, un-hoistable
+        nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        return (ids + nxt + 1) % vocab
 
-    spec_ids = jnp.zeros((1, gamma + 1), jnp.int32)
-    f_mid = jax.jit(lambda p, i, rkv, n: llama.forward_spec(
-        cfg, p, i, rkv, n, sp.budget)[0])
-    out["middle_step"] = _time_fn(
-        lambda: f_mid(engine.t_params, spec_ids, state.rkv, state.kv.seq_len),
-        iters)
+    def verify_body(ids, params, kv):
+        # the committed cache copy is unused -> XLA drops the (tiny) commit;
+        # what remains is exactly the verify attention + matmul work
+        logits = llama.forward_append(cfg, params, ids, kv)[0]
+        return chain_ids(ids, logits)
+
+    v_ids = jnp.zeros((1, gamma + 2), jnp.int32)
+    out["target_verify"] = _time_chained(
+        verify_body, v_ids, (engine.t_params, state.kv), n_lo, iters)
+
+    def mid_body(ids, params, rkv, n):
+        logits = llama.forward_spec(cfg, params, ids, rkv, n, sp.budget,
+                                    commit=False)[0]
+        return chain_ids(ids, logits)
+
+    m_ids = jnp.zeros((1, gamma + 1), jnp.int32)
+    out["middle_step"] = _time_chained(
+        mid_body, m_ids, (engine.t_params, state.rkv, state.kv.seq_len),
+        n_lo, iters)
 
     ar_ids = jnp.zeros((1, 1), jnp.int32)
-    f_ar = jax.jit(lambda p, i, kv: llama.forward_append(cfg, p, i, kv)[0])
-    out["ar_step"] = _time_fn(
-        lambda: f_ar(engine.t_params, ar_ids, state.kv), iters)
+    out["ar_step"] = _time_chained(
+        verify_body, ar_ids, (engine.t_params, state.kv), n_lo, iters)
 
-    f_build = jax.jit(lambda p, i, kv, rkv: llama.forward_append(
-        cfg, p, i, kv, build_rkv=rkv, prefill=engine.prefill,
-        chunk_size=sp.chunk_size, budget=sp.budget)[0])
-    out["retrieval_build"] = _time_fn(
-        lambda: f_build(engine.t_params, ar_ids, state.kv, state.rkv),
-        max(iters // 4, 1))
+    def build_body(ids, params, kv, rkv):
+        logits, _, rkv2 = llama.forward_append(
+            cfg, params, ids, kv, build_rkv=rkv, prefill=engine.prefill,
+            chunk_size=sp.chunk_size, budget=sp.budget)
+        # read one element of the built cache so the build cannot be DCEd
+        probe = rkv2.k.reshape(-1)[0].astype(jnp.int32)
+        return (chain_ids(ids, logits) + probe) % vocab
+
+    out["retrieval_build"] = _time_chained(
+        build_body, ar_ids, (engine.t_params, state.kv, state.rkv),
+        max(2, n_lo // 2), max(4, iters // 2))
 
     if engine.draft_cfg is not None:
+        def draft_body(ids, params, dkv):
+            logits = llama.draft_forward_spec(engine.draft_cfg, params, ids,
+                                              dkv, sp, commit=False)[0]
+            return chain_ids(ids, logits)
+
         d_ids = jnp.zeros((1, gamma + 1), jnp.int32)
-        f_draft = jax.jit(lambda p, i, dkv: llama.draft_forward_spec(
-            engine.draft_cfg, p, i, dkv, sp)[0])
-        out["draft_step"] = _time_fn(
-            lambda: f_draft(engine.d_params, d_ids, state.dkv), iters)
+        out["draft_step"] = _time_chained(
+            draft_body, d_ids, (engine.d_params, state.dkv), n_lo, iters)
     return out
 
 
