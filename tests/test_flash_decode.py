@@ -117,3 +117,117 @@ def test_kernel_prefill_chunk_shapes(quant):
     tol = 5e-2 if quant else 2e-5
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=tol, rtol=tol)
+
+
+# ---------------------------------------------------------------------------
+# Row-batched kernel (batched speculation path)
+# ---------------------------------------------------------------------------
+
+def _mk_batched(b, hq, hkv, t, s, d, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    q = jax.random.normal(ks[0], (b, hkv, (hq // hkv) * t, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.float32)
+    kn = jax.random.normal(ks[3], (b, hkv, t, d), jnp.float32)
+    vn = jax.random.normal(ks[4], (b, hkv, t, d), jnp.float32)
+    return q, k, v, kn, vn
+
+
+@pytest.mark.parametrize("t,k_lens", [
+    (1, (300, 512, 0, 77)),     # decode rows at different live lengths
+    (3, (511, 129, 256, 384)),  # verify-width rows
+])
+def test_batched_kernel_matches_per_row(t, k_lens):
+    """flash_decode_append_batched == per-row flash_decode_append, each row
+    bounded by its OWN live length (the per-row k_len state batched
+    speculation carries)."""
+    from triforce_tpu.ops.flash_decode import (flash_decode_append,
+                                               flash_decode_append_batched)
+    b, hkv, s, d = len(k_lens), 2, 512, 64
+    q, k, v, kn, vn = _mk_batched(b, 2, hkv, t, s, d, seed=3)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    nmask = cols <= rows
+    klen = jnp.asarray(k_lens, jnp.int32)
+    got = flash_decode_append_batched(
+        q, k, v, kn, vn, klen, jnp.broadcast_to(nmask, (b, t, t)),
+        block=BLOCK, interpret=True)
+    for i in range(b):
+        want = flash_decode_append(q[i], k[i], v[i], kn[i], vn[i],
+                                   int(k_lens[i]), nmask, block=BLOCK,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_batched_kernel_matches_per_row_int8():
+    from triforce_tpu.ops.flash_decode import (flash_decode_append,
+                                               flash_decode_append_batched)
+    b, hkv, s, d, t = 3, 2, 512, 64, 2
+    k_lens = (300, 512, 128)
+    q, k, v, kn, vn = _mk_batched(b, 2, hkv, t, s, d, seed=9)
+    q = q.astype(jnp.bfloat16)
+    kn, vn = kn.astype(jnp.bfloat16), vn.astype(jnp.bfloat16)
+    ksc = jnp.maximum(jnp.max(jnp.abs(k), axis=-1) / 127.0, 1e-8)
+    vsc = jnp.maximum(jnp.max(jnp.abs(v), axis=-1) / 127.0, 1e-8)
+    k8 = jnp.clip(jnp.round(k / ksc[..., None]), -127, 127).astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(v / vsc[..., None]), -127, 127).astype(jnp.int8)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    nmask = cols <= rows
+    got = flash_decode_append_batched(
+        q, k8, v8, kn, vn, jnp.asarray(k_lens, jnp.int32),
+        jnp.broadcast_to(nmask, (b, t, t)), block=BLOCK, interpret=True,
+        k_scale=ksc, v_scale=vsc)
+    for i in range(b):
+        want = flash_decode_append(q[i], k8[i], v8[i], kn[i], vn[i],
+                                   int(k_lens[i]), nmask, block=BLOCK,
+                                   interpret=True, k_scale=ksc[i],
+                                   v_scale=vsc[i])
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_custom_vmap_rule_matches_unbatched():
+    """The custom_vmap rule (vmapped B=1 attention -> row-batched kernel)
+    produces the same values as per-row B=1 kernel calls. Runs the rule
+    directly (interpret-mode kernels), since CPU dispatch never admits
+    Pallas."""
+    from triforce_tpu.ops import attention as A
+    from triforce_tpu.ops import flash_decode as F
+    import functools as ft
+
+    # force interpret mode inside both kernels for the CPU run
+    orig_b = F.flash_decode_append_batched
+    orig_s = F.flash_decode_append
+
+    b, hq, hkv, t, s, d = 3, 4, 2, 2, 512, 64
+    qs, ks_, vs_, kns, vns = [], [], [], [], []
+    for i in range(b):
+        q, k, v, kn, vn = _mk(hq, hkv, t, s, d, seed=20 + i)
+        qs.append(q); ks_.append(k); vs_.append(v)
+        kns.append(kn); vns.append(vn)
+    qB = jnp.stack(qs); kB = jnp.stack(ks_); vB = jnp.stack(vs_)
+    knB = jnp.stack(kns); vnB = jnp.stack(vns)
+    klB = jnp.asarray([300, 511, 128], jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    nmask = cols <= rows
+
+    try:
+        F.flash_decode_append_batched = ft.partial(orig_b, interpret=True)
+        got, batched = A._cv_rule(
+            False, b, [True] * 6 + [False],
+            qB, kB, vB, knB, vnB, klB, nmask)
+        assert batched is True
+    finally:
+        F.flash_decode_append_batched = orig_b
+    for i in range(b):
+        want = F.flash_decode_append(
+            qB[i, 0].reshape(hkv, (hq // hkv) * t, d), kB[i, 0], vB[i, 0],
+            knB[i, 0], vnB[i, 0], int(klB[i]),
+            jnp.tile(nmask, (hq // hkv, 1)), block=F._pick_block(
+                s, hkv, d, (hq // hkv) * t, 128), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got[i, 0].reshape(hkv, (hq // hkv) * t, d)),
+            np.asarray(want), atol=2e-5, rtol=2e-5)

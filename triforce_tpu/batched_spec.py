@@ -61,14 +61,16 @@ class BatchedSpecEngine:
         self.mode = mode
         cfg, sp = engine.target_cfg, engine.spec
         dn = (1,) if donate else ()
+        # the flash-decode kernel's custom_vmap rule lowers these vmapped
+        # B=1 attention calls onto the row-batched (B, nb)-grid kernel, so
+        # batched speculation keeps the Pallas decode bandwidth
         if mode == "retrieval":
             step = functools.partial(_retrieval_spec_step, cfg, sp,
                                      engine.prefill, engine.eos_token_id,
                                      None, False)
 
             def _batched(t_params, state):
-                with attention_ops.pallas_disabled():
-                    return jax.vmap(step, in_axes=(None, 0))(t_params, state)
+                return jax.vmap(step, in_axes=(None, 0))(t_params, state)
             self._step = jax.jit(_batched, donate_argnums=dn)
         elif mode == "triforce":
             step = functools.partial(_triforce_step, cfg, engine.draft_cfg,
@@ -76,9 +78,8 @@ class BatchedSpecEngine:
                                      None, False)
 
             def _batched(t_params, d_params, state):
-                with attention_ops.pallas_disabled():
-                    return jax.vmap(step, in_axes=(None, None, 0))(
-                        t_params, d_params, state)
+                return jax.vmap(step, in_axes=(None, None, 0))(
+                    t_params, d_params, state)
             self._step = jax.jit(_batched, donate_argnums=(2,) if donate
                                  else ())
         else:

@@ -34,9 +34,10 @@ _NEG_INF = -1e30   # python float: a module-level jnp scalar would
 # initialise the XLA backend at import, breaking jax.distributed
 # bring-up (must run before any backend use) on multi-host
 
-# trace-time switch: vmapped (batched) forwards must not dispatch to the
-# Pallas kernel — under vmap the traced per-row shapes still look B=1, but
-# pallas_call batching over a scalar-prefetch grid is not supported here.
+# trace-time escape hatch: forwards inside this context never dispatch to
+# the Pallas kernel (tests / diagnosis). Batched (vmapped) forwards no
+# longer need it — the kernel has a custom_vmap rule that lowers a vmapped
+# B=1 call onto the row-batched grid kernel (see _pallas_cv below).
 _PALLAS_DISABLED = [False]
 
 
@@ -211,6 +212,70 @@ def append_attention(q, k_cache, v_cache, k_new, v_new, *, k_len,
     return finalize(merge_partials(pc, pn), out_dtype)
 
 
+def _cv_rule(quant, axis_size, in_batched, *args):
+    """custom_vmap rule shared by the quant/non-quant kernel wrappers:
+    a vmapped B=1 flash-decode call becomes ONE row-batched pallas_call
+    (grid (B, nb), per-row live lengths) instead of falling back to XLA.
+    custom_vmap moves every batched axis to the front, so per-row tensors
+    arrive as [B, 1, Hq, T, D] etc.; unbatched args (typically the shared
+    causal mask) are broadcast."""
+    from .flash_decode import flash_decode_append_batched, _pick_block
+
+    def ensure(x, bat):
+        return x if bat else jnp.broadcast_to(x[None],
+                                              (axis_size,) + x.shape)
+
+    args = [ensure(x, bat) for x, bat in zip(args, in_batched)]
+    if quant:
+        q, k_cache, v_cache, k_new, v_new, k_len, new_mask, ks, vs = args
+    else:
+        q, k_cache, v_cache, k_new, v_new, k_len, new_mask = args
+        ks = vs = None
+    bsz, _, hq, t, d = q.shape
+    hkv = k_cache.shape[2]
+    g = hq // hkv
+    s = k_cache.shape[3]
+    tn = k_new.shape[3]
+    tn_pad = -(-tn // 128) * 128
+    block = _pick_block(s, hkv, d, g * t, tn_pad, quant=quant)
+    qh = q.reshape(bsz, hq, t, d).reshape(bsz, hkv, g * t, d)
+    nmask = jnp.tile(new_mask.reshape(bsz, t, tn), (1, g, 1))  # [B, G*T, Tn]
+    out = flash_decode_append_batched(
+        qh, k_cache.reshape(bsz, hkv, s, d), v_cache.reshape(bsz, hkv, s, d),
+        k_new.reshape(bsz, hkv, tn, d), v_new.reshape(bsz, hkv, tn, d),
+        k_len.reshape(bsz), nmask, block=block,
+        k_scale=None if ks is None else ks.reshape(bsz, hkv, s),
+        v_scale=None if vs is None else vs.reshape(bsz, hkv, s))
+    out = out.reshape(bsz, 1, hq, t, d).astype(q.dtype)
+    return out, True
+
+
+@jax.custom_batching.custom_vmap
+def _pallas_cv(q, k_cache, v_cache, k_new, v_new, k_len, new_mask):
+    from .flash_decode import append_attention_pallas
+    return append_attention_pallas(q, k_cache, v_cache, k_new, v_new,
+                                   k_len=k_len, new_mask=new_mask)
+
+
+@_pallas_cv.def_vmap
+def _pallas_cv_vmap(axis_size, in_batched, *args):
+    return _cv_rule(False, axis_size, in_batched, *args)
+
+
+@jax.custom_batching.custom_vmap
+def _pallas_cv_quant(q, k_cache, v_cache, k_new, v_new, k_len, new_mask,
+                     k_scale, v_scale):
+    from .flash_decode import append_attention_pallas
+    return append_attention_pallas(q, k_cache, v_cache, k_new, v_new,
+                                   k_len=k_len, new_mask=new_mask,
+                                   k_scale=k_scale, v_scale=v_scale)
+
+
+@_pallas_cv_quant.def_vmap
+def _pallas_cv_quant_vmap(axis_size, in_batched, *args):
+    return _cv_rule(True, axis_size, in_batched, *args)
+
+
 def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
                           cache_mask_fn=None, new_mask=None,
                           block: int = 2048, k_scale=None,
@@ -248,10 +313,20 @@ def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
             f"batch {q.shape[0]} != 1); falling back to the XLA path",
             stacklevel=2)
     if use_pallas:
-        from .flash_decode import append_attention_pallas
-        return append_attention_pallas(q, k_cache, v_cache, k_new, v_new,
-                                       k_len=k_len, new_mask=new_mask,
-                                       k_scale=k_scale, v_scale=v_scale)
+        # go through the custom_vmap wrappers: called plain they ARE
+        # append_attention_pallas; called under jax.vmap (batched
+        # speculation) they lower onto the row-batched kernel
+        t, tn = q.shape[2], k_new.shape[2]
+        if new_mask is None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (t, tn), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (t, tn), 1)
+            new_mask = cols <= rows
+        nm = jnp.asarray(new_mask, bool)
+        kl = jnp.asarray(k_len, jnp.int32)
+        if k_scale is None:
+            return _pallas_cv(q, k_cache, v_cache, k_new, v_new, kl, nm)
+        return _pallas_cv_quant(q, k_cache, v_cache, k_new, v_new, kl, nm,
+                                k_scale, v_scale)
     return append_attention(q, k_cache, v_cache, k_new, v_new, k_len=k_len,
                             cache_mask_fn=cache_mask_fn, new_mask=new_mask,
                             block=block, k_scale=k_scale, v_scale=v_scale)

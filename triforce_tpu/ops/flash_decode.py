@@ -359,6 +359,177 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
     )(*args)
 
 
+def _kernel_batched(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
+                    block: int, quant: bool):
+    """Row-batched ``_kernel``: grid (B, nb) — row-major, so the sequential
+    inner dimension walks one row's sequence blocks while the online-softmax
+    scratch is (re)initialised at i == 0 of every row. Each row has its own
+    live length (``klen_ref`` is the whole [B] vector via scalar prefetch).
+    Refs carry a leading singleton row dim from the (1, ...) block specs."""
+    if quant:
+        (qs_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_sc, l_sc,
+         acc_sc) = refs
+    else:
+        (k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc) = refs
+        ks_ref = vs_ref = qs_ref = None
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    k_len = klen_ref[b]
+    nb = pl.cdiv(k_len, block)
+    hkv, gt, d = q_ref.shape[1:]
+
+    @pl.when(i == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, _NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    @pl.when(i < nb)
+    def _():
+        base = i * block
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, gt, block), 2) + base
+        valid = cols < k_len
+        if quant:
+            sc_i = jax.lax.dot_general(
+                q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            sc = (sc_i.astype(jnp.float32) * qs_ref[0][:, :, None]
+                  * ks_ref[0][:, None, :])
+        else:
+            sc = jax.lax.dot_general(
+                q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        sc = jnp.where(valid, sc, _NEG_INF)
+        m = m_sc[:]
+        m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(sc - m_new)
+        l_sc[:] = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
+        if quant:
+            pf = p * vs_ref[0][:, None, :]
+            ps = jnp.max(jnp.abs(pf), axis=-1, keepdims=True) / 127.0
+            ps = jnp.maximum(ps, 1e-20)
+            p8 = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
+            pv_i = jax.lax.dot_general(
+                p8, v_ref[0], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            pv = pv_i.astype(jnp.float32) * ps
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        acc_sc[:] = acc_sc[:] * alpha + pv
+        m_sc[:] = m_new
+
+    @pl.when(i == jnp.maximum(nb - 1, 0))
+    def _():
+        if quant:
+            qf = (q_ref[0].astype(jnp.float32)
+                  * qs_ref[0][:, :, None]).astype(kn_ref.dtype)
+        else:
+            qf = q_ref[0]
+        sc = jax.lax.dot_general(
+            qf, kn_ref[0], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        sc = sc + bias_ref[0][None]
+        m = m_sc[:]
+        m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(sc - m_new)
+        l = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
+        acc = acc_sc[:] * alpha + jax.lax.dot_general(
+            p.astype(vn_ref.dtype), vn_ref[0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = acc / jnp.maximum(l, 1e-37)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def flash_decode_append_batched(q, k, v, k_new, v_new, k_len, new_mask,
+                                block: int = 512, interpret: bool = False,
+                                k_scale=None, v_scale=None):
+    """Row-batched fused decode attention (batched speculation / continuous
+    batching): q [B, Hkv, GT, D]; k/v [B, Hkv, S, D] (S % block == 0);
+    k_new/v_new [B, Hkv, Tn, D]; new_mask [B, GT, Tn] bool; k_len [B] traced
+    i32. -> [B, Hkv, GT, D] fp32. One pallas_call, grid (B, nb): every row
+    streams exactly its own live prefix."""
+    bsz, hkv, gt, d = q.shape
+    s = k.shape[2]
+    tn = k_new.shape[2]
+    assert s % block == 0, (s, block)
+    scale = 1.0 / math.sqrt(d)
+    nb_max = s // block
+
+    tn_pad = -(-tn // 128) * 128
+    if tn_pad != tn:
+        pad = [(0, 0), (0, 0), (0, tn_pad - tn), (0, 0)]
+        k_new = jnp.pad(k_new, pad)
+        v_new = jnp.pad(v_new, pad)
+        new_mask = jnp.pad(new_mask, [(0, 0), (0, 0), (0, tn_pad - tn)])
+        tn = tn_pad
+
+    def kv_index(b, i, klen_ref):
+        last = jnp.maximum(pl.cdiv(klen_ref[b], block) - 1, 0)
+        return (b, 0, jnp.minimum(i, last), 0)
+
+    quant = k_scale is not None
+    kernel = functools.partial(_kernel_batched, block=block, quant=quant)
+    row = lambda b, i, *_: (b, 0, 0, 0)
+    row3 = lambda b, i, *_: (b, 0, 0)
+    kv_specs = ([pl.BlockSpec((1, hkv, gt), row3, memory_space=pltpu.VMEM)]
+                if quant else []) + [
+        pl.BlockSpec((1, hkv, block, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hkv, block, d), kv_index, memory_space=pltpu.VMEM),
+    ]
+    if quant:
+        kv_specs += [
+            pl.BlockSpec((1, hkv, block),
+                         lambda b, i, kl: kv_index(b, i, kl)[:3],
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, block),
+                         lambda b, i, kl: kv_index(b, i, kl)[:3],
+                         memory_space=pltpu.VMEM),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, nb_max),
+        in_specs=[
+            pl.BlockSpec((1, hkv, gt, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, tn, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, tn, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt, tn), row3, memory_space=pltpu.VMEM),
+        ] + kv_specs,
+        out_specs=pl.BlockSpec((1, hkv, gt, d), row,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, gt, 1), jnp.float32),
+            pltpu.VMEM((hkv, gt, 1), jnp.float32),
+            pltpu.VMEM((hkv, gt, d), jnp.float32),
+        ],
+    )
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    args = [jnp.asarray(k_len, jnp.int32).reshape(bsz), q, k_new, v_new,
+            jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32)]
+    if quant:
+        qf = q.astype(jnp.float32)
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1) / 127.0, 1e-20)
+        q8 = jnp.clip(jnp.round(qf / qs[..., None]), -127, 127
+                      ).astype(jnp.int8)
+        args[1] = q8
+        args += [qs.astype(jnp.float32)]
+    args += [k, v]
+    if quant:
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, gt, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
 def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int,
                 quant: bool = False) -> int:
     """Largest candidate block dividing the cache length whose
