@@ -280,6 +280,50 @@ def run_tree(preset: str, args):
     return res
 
 
+def run_batched(preset: str, args, rows: int = 4):
+    """Batched speculation (beyond-reference axis): aggregate decode
+    throughput of B rows speculating together in one program vs one row,
+    at a context where B caches fit one chip's HBM. Decode is
+    bandwidth-bound, so rows share every weight read; the per-row KV
+    streams are the irreducible cost."""
+    import jax, jax.numpy as jnp
+    from triforce_tpu.batched_spec import BatchedSpecEngine
+
+    class A:
+        prefill = 15872 if preset == "7b-proxy" else 64
+        gen_len = None
+        prefill_chunk = args.prefill_chunk
+        kv_dtype = args.kv_dtype
+    steps = 24
+
+    engine, prefill, _ = build_engine(preset, A, with_draft=False,
+                                      weight_quant=args.weights == "int8")
+    res = {"rows": rows, "prefill": prefill, "steps": steps}
+    for b in (1, rows):
+        bat = BatchedSpecEngine(engine, mode="retrieval",
+                                force_accept=args.alpha, donate=True)
+        prompts = [make_ids(engine, 40 + i)[:, :prefill] for i in range(b)]
+        st = bat.prefill_rows(prompts, list(range(b)))
+        st, toks, ns = bat.decode(st, steps)          # compile warm-up
+        _ = int(np.asarray(ns)[0, -1])
+        t0 = time.perf_counter()
+        st, toks, ns = bat.decode(st, steps)
+        total = int(np.asarray(ns).sum())
+        dt = time.perf_counter() - t0
+        res[f"b{b}"] = {"tokens_per_sec": total / dt,
+                        "step_ms": 1e3 * dt / steps,
+                        "tokens": total}
+        log(f"[bench] batched B={b}: {total / dt:.1f} tok/s aggregate "
+            f"({1e3 * dt / steps:.1f} ms/step, {total} tokens)")
+        del st, bat
+        _settle()
+    res["scaling"] = res[f"b{rows}"]["tokens_per_sec"] / \
+        max(res["b1"]["tokens_per_sec"], 1e-9)
+    log(f"[bench] batched scaling B={rows}/B=1: {res['scaling']:.2f}x")
+    del engine
+    return res
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="auto",
@@ -325,7 +369,8 @@ def main() -> None:
 
     results = {}
     tree_mode = "tree" in modes
-    modes = [m for m in modes if m != "tree"]
+    batched_mode = "batched" in modes
+    modes = [m for m in modes if m not in ("tree", "batched")]
     engine, prefill, gen_len = build_engine(
         preset, args, with_draft="triforce" in modes,
         weight_quant=args.weights == "int8")
@@ -348,6 +393,12 @@ def main() -> None:
         results["tree"] = run_tree(preset, args)
         engine = None
 
+    if batched_mode:
+        del engine
+        _settle(20)
+        results["batched"] = run_batched(preset, args)
+        engine = None
+
     if args.weight_ar:
         # AR floor with int8 weight-only quantization (beyond-reference
         # config: halves the weight stream). Fresh engine; the headline
@@ -368,8 +419,13 @@ def main() -> None:
             modes,
             key=lambda m: results[m]["forced"][a]["tokens_per_sec"])
         head = results[best_mode]["forced"][a]
-    else:   # tree-only run: headline is the tree's raw measured throughput
+    elif "tree" in results:  # tree-only run: raw measured tree throughput
         best_mode, head = "tree", results["tree"]["raw"]
+    else:                    # batched-only run: aggregate B-row throughput
+        best_mode = "batched"
+        head = {"tokens_per_sec":
+                results["batched"][f"b{results['batched']['rows']}"]
+                ["tokens_per_sec"]}
     speedup = head["tokens_per_sec"] / results["ar"]["tokens_per_sec"]
     baseline = 2.2  # reference on-chip E2E speedup (README.md:49-55)
     log(f"[bench] headline: {best_mode} at alpha={a}: "
@@ -396,6 +452,8 @@ def main() -> None:
             **{m: _round_tree(results[m]) for m in modes},
             **({"tree": _round_tree(results["tree"])}
                if "tree" in results else {}),
+            **({"batched": _round_tree(results["batched"])}
+               if "batched" in results else {}),
         },
     }
     print(json.dumps(out), flush=True)

@@ -99,3 +99,40 @@ def test_batched_rows_independent():
     alt = row_stream([base_states[0], base_states[2], base_states[1]])
     for a, b in zip(full, alt):
         np.testing.assert_array_equal(a[0], b[0])
+
+
+@pytest.mark.parametrize("mode", ["retrieval", "triforce"])
+def test_decode_fused_equals_stepped(mode):
+    """decode() (whole multi-step generation in ONE dispatch) emits exactly
+    the same per-row tokens as host-stepped step() calls."""
+    eng = _mk_engine(mode)
+    prompts = _prompts()
+    seeds = [7, 8, 9]
+
+    bat1 = BatchedSpecEngine(eng, mode=mode, donate=False)
+    st = bat1.prefill_rows(prompts, seeds)
+    want_toks, want_ns = [], []
+    for _ in range(3):
+        st, stats = bat1.step(st)
+        want_toks.append(np.asarray(stats.tokens))
+        want_ns.append(np.asarray(stats.n_emitted))
+    want_toks = np.stack(want_toks, axis=1)
+    want_ns = np.stack(want_ns, axis=1)
+
+    bat2 = BatchedSpecEngine(eng, mode=mode, donate=False)
+    st2 = bat2.prefill_rows(prompts, seeds)
+    _, toks, ns = bat2.decode(st2, steps=3)
+    np.testing.assert_array_equal(np.asarray(toks), want_toks)
+    np.testing.assert_array_equal(np.asarray(ns), want_ns)
+
+
+def test_batched_forced_acceptance():
+    """force_accept=1.0 makes every row emit gamma accepts + the bonus
+    token every step (like Engine.generate_forced at alpha=1)."""
+    eng = _mk_engine("retrieval")
+    bat = BatchedSpecEngine(eng, mode="retrieval", donate=False,
+                            force_accept=1.0)
+    st = bat.prefill_rows(_prompts(), [4, 5, 6])
+    _, toks, ns = bat.decode(st, steps=2)
+    assert np.asarray(ns).shape == (B, 2)
+    assert (np.asarray(ns) == SPEC.gamma + 1).all()

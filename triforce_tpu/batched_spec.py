@@ -33,6 +33,26 @@ from .engine import (Engine, TriForceState, _retrieval_spec_step,
                      _triforce_step)
 
 
+def _decode_fused(vstep, steps: int, gamma: int, params_args, state):
+    """``steps`` vmapped speculation steps inside ONE dispatch
+    (lax.fori_loop): per-step host dispatch costs ~60 ms through a remote
+    tunnel, so a host-looped decode would measure the harness. Returns
+    (state, tokens [B, steps, gamma+2], n_emitted [B, steps])."""
+    b = state.next_token.shape[0]
+    toks0 = jnp.zeros((b, steps, gamma + 2), jnp.int32)
+    ns0 = jnp.zeros((b, steps), jnp.int32)
+
+    def body(i, c):
+        state, toks, ns = c
+        state, stats = vstep(*params_args, state)
+        toks = jax.lax.dynamic_update_slice(
+            toks, stats.tokens[:, None, :], (0, i, 0))
+        ns = ns.at[:, i].set(stats.n_emitted)
+        return state, toks, ns
+
+    return jax.lax.fori_loop(0, steps, body, (state, toks0, ns0))
+
+
 def stack_states(states):
     """Stack B single-sequence TriForceStates into one batched pytree
     (leading axis = row)."""
@@ -53,7 +73,7 @@ class BatchedSpecEngine:
     """
 
     def __init__(self, engine: Engine, mode: str = "retrieval",
-                 donate: bool = True):
+                 donate: bool = True, force_accept=None):
         assert engine.mesh is None, \
             "batched speculation is single-chip this round (dp-sharding of " \
             "the row axis is the natural extension)"
@@ -63,25 +83,42 @@ class BatchedSpecEngine:
         dn = (1,) if donate else ()
         # the flash-decode kernel's custom_vmap rule lowers these vmapped
         # B=1 attention calls onto the row-batched (B, nb)-grid kernel, so
-        # batched speculation keeps the Pallas decode bandwidth
+        # batched speculation keeps the Pallas decode bandwidth.
+        # force_accept: controlled-acceptance coin (bench methodology, see
+        # Engine.generate_forced) applied per row.
         if mode == "retrieval":
             step = functools.partial(_retrieval_spec_step, cfg, sp,
                                      engine.prefill, engine.eos_token_id,
-                                     None, False)
+                                     None, False,
+                                     force_accept=force_accept)
+            vstep = jax.vmap(step, in_axes=(None, 0))
 
             def _batched(t_params, state):
-                return jax.vmap(step, in_axes=(None, 0))(t_params, state)
+                return vstep(t_params, state)
             self._step = jax.jit(_batched, donate_argnums=dn)
+
+            def _decode(steps, t_params, state):
+                return _decode_fused(vstep, steps, sp.gamma, (t_params,),
+                                     state)
+            self._decode = jax.jit(_decode, static_argnums=(0,),
+                                   donate_argnums=(2,) if donate else ())
         elif mode == "triforce":
             step = functools.partial(_triforce_step, cfg, engine.draft_cfg,
                                      sp, engine.prefill, engine.eos_token_id,
-                                     None, False)
+                                     None, False,
+                                     force_accept=force_accept)
+            vstep = jax.vmap(step, in_axes=(None, None, 0))
 
             def _batched(t_params, d_params, state):
-                return jax.vmap(step, in_axes=(None, None, 0))(
-                    t_params, d_params, state)
+                return vstep(t_params, d_params, state)
             self._step = jax.jit(_batched, donate_argnums=(2,) if donate
                                  else ())
+
+            def _decode(steps, t_params, d_params, state):
+                return _decode_fused(vstep, steps, sp.gamma,
+                                     (t_params, d_params), state)
+            self._decode = jax.jit(_decode, static_argnums=(0,),
+                                   donate_argnums=(3,) if donate else ())
         else:
             raise ValueError(mode)
 
@@ -108,11 +145,9 @@ class BatchedSpecEngine:
         return self._step(self.engine.t_params, self.engine.d_params, state)
 
     def decode(self, state: TriForceState, steps: int):
-        """Run ``steps`` fused steps; returns (state, tokens [B, steps,
-        gamma+2], n_emitted [B, steps])."""
-        toks, ns = [], []
-        for _ in range(steps):
-            state, stats = self.step(state)
-            toks.append(stats.tokens)
-            ns.append(stats.n_emitted)
-        return state, jnp.stack(toks, axis=1), jnp.stack(ns, axis=1)
+        """Run ``steps`` fused steps in ONE dispatch; returns (state,
+        tokens [B, steps, gamma+2], n_emitted [B, steps])."""
+        if self.mode == "retrieval":
+            return self._decode(steps, self.engine.t_params, state)
+        return self._decode(steps, self.engine.t_params,
+                            self.engine.d_params, state)
