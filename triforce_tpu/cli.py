@@ -55,6 +55,10 @@ def parse_args(argv=None):
                    help="target weight precision (int8 = per-channel "
                         "weight-only quantization, halves the weight "
                         "stream; beyond-reference)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="batched speculation: N prompts decode together in "
+                        "one program (retrieval/triforce modes; "
+                        "beyond-reference — the reference asserts bsz=1)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel size (shards the KV cache)")
@@ -200,12 +204,15 @@ def main(argv=None):
             dtype=dtype, kv_quant=args.kv_dtype == "int8",
             weight_quant=args.weight_dtype == "int8",
             mesh=mesh, shard_seq=args.sp > 1)
-        fn = {"triforce": decoding.triforce,
-              "retrieval": decoding.retrieval_spec,
-              "ar": decoding.autoregressive}[args.mode]
-        kw = {} if args.mode == "ar" else {"stop_on_eos": False}
-        res = fn(engine, ids, max_len=args.gen_len, seed=args.seed,
-                 verbose=args.verbose, tokenizer=tokenizer, **kw)
+        if args.batch > 1 and args.mode in ("retrieval", "triforce"):
+            res = _run_batched(engine, args, prompts)
+        else:
+            fn = {"triforce": decoding.triforce,
+                  "retrieval": decoding.retrieval_spec,
+                  "ar": decoding.autoregressive}[args.mode]
+            kw = {} if args.mode == "ar" else {"stop_on_eos": False}
+            res = fn(engine, ids, max_len=args.gen_len, seed=args.seed,
+                     verbose=args.verbose, tokenizer=tokenizer, **kw)
 
     print(f"\n[{args.mode}] {res.tokens_per_sec:.2f} tokens/s "
           f"({1e3 / max(res.tokens_per_sec, 1e-9):.1f} ms/token), "
@@ -224,6 +231,36 @@ def main(argv=None):
                  f"{res.avg_tokens_per_step:.3f}\n")
         log_csv(args.file, header, entry)
     return res
+
+
+def _run_batched(engine, args, prompts):
+    """--batch N: N rows speculate together (batched_spec). Aggregate
+    tokens/s over all rows; acceptance/steps averaged."""
+    import time
+    import numpy as np
+    import jax.numpy as jnp
+    from . import data as data_mod
+    from .batched_spec import BatchedSpecEngine
+    from .decoding import DecodeResult
+
+    b = args.batch
+    bat = BatchedSpecEngine(engine, mode=args.mode)
+    rows = [jnp.asarray(data_mod.fit_prompt(prompts[i % len(prompts)],
+                                            args.prefill))
+            for i in range(b)]
+    state = bat.prefill_rows(rows, [args.seed + i for i in range(b)])
+    # fixed step count sized for ~gen_len tokens/row at >=1 token/step
+    steps = args.gen_len
+    t0 = time.perf_counter()
+    state, toks, ns = bat.decode(state, steps)
+    ns = np.asarray(ns)
+    wall = time.perf_counter() - t0
+    total = int(ns.sum())
+    return DecodeResult(
+        tokens=[int(t) for t in np.asarray(toks)[0].reshape(-1)[:16]],
+        tokens_per_sec=total / wall,
+        avg_tokens_per_step=total / (b * steps),
+        steps=steps, wall_s=wall)
 
 
 if __name__ == "__main__":
