@@ -286,7 +286,6 @@ def run_batched(preset: str, args, rows: int = 4):
     at a context where B caches fit one chip's HBM. Decode is
     bandwidth-bound, so rows share every weight read; the per-row KV
     streams are the irreducible cost."""
-    import jax, jax.numpy as jnp
     from triforce_tpu.batched_spec import BatchedSpecEngine
 
     class A:
@@ -421,11 +420,23 @@ def main() -> None:
         head = results[best_mode]["forced"][a]
     elif "tree" in results:  # tree-only run: raw measured tree throughput
         best_mode, head = "tree", results["tree"]["raw"]
-    else:                    # batched-only run: aggregate B-row throughput
-        best_mode = "batched"
-        head = {"tokens_per_sec":
-                results["batched"][f"b{results['batched']['rows']}"]
-                ["tokens_per_sec"]}
+    else:
+        # batched-only run: the AR baseline was measured at the PRESET
+        # prefill while run_batched uses a shorter context (B caches must
+        # fit HBM), so a vs-AR ratio would conflate context with batching;
+        # report the B-vs-1 scaling factor under its own metric instead
+        bt = results["batched"]
+        out = {"metric": "batched_spec_scaling_vs_single_row",
+               "value": round(bt["scaling"], 4), "unit": "x",
+               "vs_baseline": round(bt["scaling"] / bt["rows"], 4),
+               "detail": {"kv_dtype": args.kv_dtype,
+                          "weights": args.weights, "alpha": args.alpha,
+                          "preset": preset, "backend": backend,
+                          "batched": _round_tree(bt),
+                          "ar": {k: round(v, 4)
+                                 for k, v in results["ar"].items()}}}
+        print(json.dumps(out), flush=True)
+        return
     speedup = head["tokens_per_sec"] / results["ar"]["tokens_per_sec"]
     baseline = 2.2  # reference on-chip E2E speedup (README.md:49-55)
     log(f"[bench] headline: {best_mode} at alpha={a}: "

@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from .config import ModelConfig, SpecConfig
-from .ops import attention as attention_ops
 from .engine import (Engine, TriForceState, _retrieval_spec_step,
                      _triforce_step)
 

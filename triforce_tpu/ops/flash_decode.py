@@ -38,6 +38,60 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30  # python float: jnp scalars become captured consts in pallas
 
 
+def _block_scores(q, k, qs, ks, quant: bool):
+    """q . k over one sequence block, batched over heads ([Hkv, GT, block]).
+    bf16: MXU with f32 accumulation. int8: q arrives pre-quantized (codes +
+    per-row scale folded with 1/sqrt(d)), so the MXU runs int8 x int8 ->
+    int32 and the scales factor onto the scores — no O(block*D) dequant."""
+    if quant:
+        sc_i = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        return (sc_i.astype(jnp.float32) * qs[:, :, None] * ks[:, None, :])
+    return jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def _block_pv(p, v, vs, quant: bool):
+    """p . v over one block. int8: fold the per-token value scale into p,
+    re-quantize p per row (O(block) VPU work), and run the pv matmul in
+    int8 too."""
+    if quant:
+        pf = p * vs[:, None, :]
+        ps = jnp.max(jnp.abs(pf), axis=-1, keepdims=True) / 127.0
+        ps = jnp.maximum(ps, 1e-20)
+        p8 = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
+        pv_i = jax.lax.dot_general(
+            p8, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        return pv_i.astype(jnp.float32) * ps
+    return jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def _fold_new_and_finalize(q, qs, kn, vn, bias, m, l, acc, quant: bool):
+    """Fold the in-register new-token block into the online-softmax state
+    and normalise — the shared finalize of the fused decode kernels."""
+    if quant:
+        qf = (q.astype(jnp.float32) * qs[:, :, None]).astype(kn.dtype)
+    else:
+        qf = q
+    sc = jax.lax.dot_general(
+        qf, kn, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [Hkv, GT, Tn]
+    sc = sc + bias[None]
+    m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(sc - m_new)
+    l = l * alpha + p.sum(axis=-1, keepdims=True)
+    acc = acc * alpha + jax.lax.dot_general(
+        p.astype(vn.dtype), vn, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return acc / jnp.maximum(l, 1e-37)
+
+
 def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
             block: int, scale: float, quant: bool):
     if quant:
@@ -62,68 +116,25 @@ def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
         base = i * block
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, gt, block), 2) + base
         valid = cols < k_len
-        # batched over heads (bf16 operands, f32 accumulation): per-head
-        # M = G*T rows is tiny (1 for MHA decode), so per-head matmuls are
-        # degenerate — the batched form keeps all heads in flight.
-        # int8 mode: q arrives pre-quantized (codes + per-row scale folded
-        # with 1/sqrt(d) into the score fixup), so the MXU runs int8 x int8
-        # -> int32 and scales factor onto the [Hkv, GT, block] scores —
-        # no O(block*D) dequant anywhere.
-        if quant:
-            sc_i = jax.lax.dot_general(
-                q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)
-            sc = (sc_i.astype(jnp.float32) * qs_ref[:][:, :, None]
-                  * ks_ref[:][:, None, :])
-        else:
-            sc = jax.lax.dot_general(
-                q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # [Hkv, GT, block]
+        sc = _block_scores(q_ref[:], k_ref[:],
+                           None if not quant else qs_ref[:],
+                           None if not quant else ks_ref[:], quant)
         sc = jnp.where(valid, sc, _NEG_INF)
         m = m_sc[:]
         m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(sc - m_new)
         l_sc[:] = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
-        if quant:
-            # fold the per-token value scale into p, re-quantize p per row
-            # (O(block) VPU work), and run the pv matmul in int8 too
-            pf = p * vs_ref[:][:, None, :]
-            ps = jnp.max(jnp.abs(pf), axis=-1, keepdims=True) / 127.0
-            ps = jnp.maximum(ps, 1e-20)
-            p8 = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
-            pv_i = jax.lax.dot_general(
-                p8, v_ref[:], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)
-            pv = pv_i.astype(jnp.float32) * ps
-        else:
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[:], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+        pv = _block_pv(p, v_ref[:], None if not quant else vs_ref[:], quant)
         acc_sc[:] = acc_sc[:] * alpha + pv   # [Hkv, GT, D]
         m_sc[:] = m_new
 
     # finalize on the last grid step (nb == 0 finalizes at i == 0)
     @pl.when(i == jnp.maximum(nb - 1, 0))
     def _():
-        if quant:
-            qf = (q_ref[:].astype(jnp.float32)
-                  * qs_ref[:][:, :, None]).astype(kn_ref.dtype)
-        else:
-            qf = q_ref[:]
-        sc = jax.lax.dot_general(
-            qf, kn_ref[:], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # [Hkv, GT, Tn]
-        sc = sc + bias_ref[:, :][None]
-        m = m_sc[:]
-        m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(sc - m_new)
-        l = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
-        acc = acc_sc[:] * alpha + jax.lax.dot_general(
-            p.astype(vn_ref.dtype), vn_ref[:], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        o_ref[:] = acc / jnp.maximum(l, 1e-37)
+        o_ref[:] = _fold_new_and_finalize(
+            q_ref[:], None if not quant else qs_ref[:], kn_ref[:], vn_ref[:],
+            bias_ref[:, :], m_sc[:], l_sc[:], acc_sc[:], quant)
 
 
 def _kernel_partials(klen_ref, q_ref, *refs, block: int, quant: bool):
@@ -153,35 +164,16 @@ def _kernel_partials(klen_ref, q_ref, *refs, block: int, quant: bool):
         base = i * block
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, gt, block), 2) + base
         valid = cols < k_len
-        if quant:
-            sc_i = jax.lax.dot_general(
-                q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)
-            sc = (sc_i.astype(jnp.float32) * qs_ref[:][:, :, None]
-                  * ks_ref[:][:, None, :])
-        else:
-            sc = jax.lax.dot_general(
-                q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # [Hkv, GT, block]
+        sc = _block_scores(q_ref[:], k_ref[:],
+                           None if not quant else qs_ref[:],
+                           None if not quant else ks_ref[:], quant)
         sc = jnp.where(valid, sc, _NEG_INF)
         m = m_ref[:][:, :, None]
         m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(sc - m_new)
         l_ref[:] = l_ref[:] * alpha[:, :, 0] + p.sum(axis=-1)
-        if quant:
-            pf = p * vs_ref[:][:, None, :]
-            ps = jnp.max(jnp.abs(pf), axis=-1, keepdims=True) / 127.0
-            ps = jnp.maximum(ps, 1e-20)
-            p8 = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
-            pv_i = jax.lax.dot_general(
-                p8, v_ref[:], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)
-            pv = pv_i.astype(jnp.float32) * ps
-        else:
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[:], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+        pv = _block_pv(p, v_ref[:], None if not quant else vs_ref[:], quant)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new[:, :, 0]
 
@@ -389,59 +381,24 @@ def _kernel_batched(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
         base = i * block
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, gt, block), 2) + base
         valid = cols < k_len
-        if quant:
-            sc_i = jax.lax.dot_general(
-                q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)
-            sc = (sc_i.astype(jnp.float32) * qs_ref[0][:, :, None]
-                  * ks_ref[0][:, None, :])
-        else:
-            sc = jax.lax.dot_general(
-                q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+        sc = _block_scores(q_ref[0], k_ref[0],
+                           None if not quant else qs_ref[0],
+                           None if not quant else ks_ref[0], quant)
         sc = jnp.where(valid, sc, _NEG_INF)
         m = m_sc[:]
         m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(sc - m_new)
         l_sc[:] = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
-        if quant:
-            pf = p * vs_ref[0][:, None, :]
-            ps = jnp.max(jnp.abs(pf), axis=-1, keepdims=True) / 127.0
-            ps = jnp.maximum(ps, 1e-20)
-            p8 = jnp.clip(jnp.round(pf / ps), -127, 127).astype(jnp.int8)
-            pv_i = jax.lax.dot_general(
-                p8, v_ref[0], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)
-            pv = pv_i.astype(jnp.float32) * ps
-        else:
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0],
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+        pv = _block_pv(p, v_ref[0], None if not quant else vs_ref[0], quant)
         acc_sc[:] = acc_sc[:] * alpha + pv
         m_sc[:] = m_new
 
     @pl.when(i == jnp.maximum(nb - 1, 0))
     def _():
-        if quant:
-            qf = (q_ref[0].astype(jnp.float32)
-                  * qs_ref[0][:, :, None]).astype(kn_ref.dtype)
-        else:
-            qf = q_ref[0]
-        sc = jax.lax.dot_general(
-            qf, kn_ref[0], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        sc = sc + bias_ref[0][None]
-        m = m_sc[:]
-        m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(sc - m_new)
-        l = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
-        acc = acc_sc[:] * alpha + jax.lax.dot_general(
-            p.astype(vn_ref.dtype), vn_ref[0], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        o_ref[0] = acc / jnp.maximum(l, 1e-37)
+        o_ref[0] = _fold_new_and_finalize(
+            q_ref[0], None if not quant else qs_ref[0], kn_ref[0], vn_ref[0],
+            bias_ref[0], m_sc[:], l_sc[:], acc_sc[:], quant)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))

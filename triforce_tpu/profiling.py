@@ -98,7 +98,9 @@ def _time_chained(body, ids0, extra, n_lo: int = 4, n_hi: int = 20) -> float:
     n_hi = max(n_hi, 2)
     n_lo = min(max(n_lo, 1), n_hi - 1)
     f = jax.jit(chained)
-    _ = np.asarray(f(jnp.int32(1), ids0, *extra))      # compile + force
+    # warm with DIFFERENT ids so no timed dispatch can ever be a memoized
+    # replay of the warm-up (a tunnel caches identical dispatches)
+    _ = np.asarray(f(jnp.int32(1), ids0 + 1, *extra))
     times = {}
     for n in (n_lo, n_hi):
         t0 = time.perf_counter()
