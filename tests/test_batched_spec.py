@@ -136,3 +136,26 @@ def test_batched_forced_acceptance():
     _, toks, ns = bat.decode(st, steps=2)
     assert np.asarray(ns).shape == (B, 2)
     assert (np.asarray(ns) == SPEC.gamma + 1).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+@pytest.mark.parametrize("mode", ["retrieval", "triforce"])
+def test_dp_sharded_rows_equal_unsharded(mode):
+    """Rows sharded over a dp mesh axis (data-parallel serving) emit
+    exactly the unsharded batched outputs: shard_map runs each device's
+    local rows through the same vmapped step."""
+    from triforce_tpu.parallel import mesh as mesh_mod
+    eng = _mk_engine(mode)
+    prompts = _prompts() + [_prompts()[0]]          # B=4
+    seeds = [11, 22, 33, 44]
+
+    bat = BatchedSpecEngine(eng, mode=mode, donate=False)
+    st = bat.prefill_rows(prompts, seeds)
+    _, want_toks, want_ns = bat.decode(st, steps=3)
+
+    mesh = mesh_mod.make_mesh(dp=4)
+    bat_dp = BatchedSpecEngine(eng, mode=mode, donate=False, mesh=mesh)
+    st2 = bat_dp.prefill_rows(prompts, seeds)
+    _, toks, ns = bat_dp.decode(st2, steps=3)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(want_toks))
+    np.testing.assert_array_equal(np.asarray(ns), np.asarray(want_ns))

@@ -72,12 +72,18 @@ class BatchedSpecEngine:
     """
 
     def __init__(self, engine: Engine, mode: str = "retrieval",
-                 donate: bool = True, force_accept=None):
+                 donate: bool = True, force_accept=None, mesh=None):
         assert engine.mesh is None, \
-            "batched speculation is single-chip this round (dp-sharding of " \
-            "the row axis is the natural extension)"
+            "pass the dp mesh to BatchedSpecEngine, not the inner Engine: " \
+            "rows shard over dp; each device runs its local rows"
         self.engine = engine
         self.mode = mode
+        self.mesh = mesh          # optional mesh with a 'dp' axis: the row
+        self._dp = 1 if mesh is None else mesh.shape["dp"]
+        # axis shards across devices (data-parallel serving); inside
+        # shard_map every device sees only its local rows, so the
+        # row-batched Pallas kernel runs per-shard — the same pattern that
+        # makes the sp-sharded decode kernel partitionable (sp_attention.py)
         cfg, sp = engine.target_cfg, engine.spec
         dn = (1,) if donate else ()
         # the flash-decode kernel's custom_vmap rule lowers these vmapped
@@ -85,20 +91,39 @@ class BatchedSpecEngine:
         # batched speculation keeps the Pallas decode bandwidth.
         # force_accept: controlled-acceptance coin (bench methodology, see
         # Engine.generate_forced) applied per row.
+        def shard_rows(fn, n_params, n_out):
+            """Wrap fn(params..., state) -> out pytree(s) in shard_map:
+            params replicated, every state/out leaf row-sharded on axis 0."""
+            if mesh is None:
+                return fn
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:                      # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+            # check_vma off: the fused step seeds loop carries from
+            # constants (junk token buffers), which the varying-axes
+            # analysis flags against dp-varying updates; rows are
+            # independent, so there is no cross-shard hazard to check
+            return shard_map(fn, mesh=mesh,
+                             in_specs=(P(),) * n_params + (P("dp"),),
+                             out_specs=tuple([P("dp")] * n_out)
+                             if n_out > 1 else P("dp"),
+                             check_vma=False)
+
         if mode == "retrieval":
             step = functools.partial(_retrieval_spec_step, cfg, sp,
                                      engine.prefill, engine.eos_token_id,
                                      None, False,
                                      force_accept=force_accept)
             vstep = jax.vmap(step, in_axes=(None, 0))
-
-            def _batched(t_params, state):
-                return vstep(t_params, state)
-            self._step = jax.jit(_batched, donate_argnums=dn)
+            self._step = jax.jit(shard_rows(vstep, 1, 2), donate_argnums=dn)
 
             def _decode(steps, t_params, state):
-                return _decode_fused(vstep, steps, sp.gamma, (t_params,),
-                                     state)
+                def inner(t_params, state):
+                    return _decode_fused(vstep, steps, sp.gamma,
+                                         (t_params,), state)
+                return shard_rows(inner, 1, 3)(t_params, state)
             self._decode = jax.jit(_decode, static_argnums=(0,),
                                    donate_argnums=(2,) if donate else ())
         elif mode == "triforce":
@@ -107,15 +132,14 @@ class BatchedSpecEngine:
                                      None, False,
                                      force_accept=force_accept)
             vstep = jax.vmap(step, in_axes=(None, None, 0))
-
-            def _batched(t_params, d_params, state):
-                return vstep(t_params, d_params, state)
-            self._step = jax.jit(_batched, donate_argnums=(2,) if donate
-                                 else ())
+            self._step = jax.jit(shard_rows(vstep, 2, 2),
+                                 donate_argnums=(2,) if donate else ())
 
             def _decode(steps, t_params, d_params, state):
-                return _decode_fused(vstep, steps, sp.gamma,
-                                     (t_params, d_params), state)
+                def inner(t_params, d_params, state):
+                    return _decode_fused(vstep, steps, sp.gamma,
+                                         (t_params, d_params), state)
+                return shard_rows(inner, 2, 3)(t_params, d_params, state)
             self._decode = jax.jit(_decode, static_argnums=(0,),
                                    donate_argnums=(3,) if donate else ())
         else:
@@ -126,6 +150,8 @@ class BatchedSpecEngine:
         stack (prefill is compute-bound — batching it buys little; decode is
         where rows share weights reads)."""
         eng = self.engine
+        assert len(prompts) % self._dp == 0, \
+            (len(prompts), self._dp, "rows must divide the dp axis")
         states = []
         for ids, seed in zip(prompts, seeds):
             st = eng.init_state(jax.random.PRNGKey(seed))
@@ -133,7 +159,12 @@ class BatchedSpecEngine:
             if self.mode == "triforce":
                 st = eng.prefill_draft(st, ids)
             states.append(st)
-        return stack_states(states)
+        state = stack_states(states)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            state = jax.device_put(
+                state, NamedSharding(self.mesh, P("dp")))
+        return state
 
     def step(self, state: TriForceState):
         """One fused speculation step for EVERY row (one dispatch).

@@ -59,6 +59,9 @@ def parse_args(argv=None):
                    help="batched speculation: N prompts decode together in "
                         "one program (retrieval/triforce modes; "
                         "beyond-reference — the reference asserts bsz=1)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices for --batch: rows shard "
+                        "over a dp mesh axis (batch %% dp == 0)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel size (shards the KV cache)")
@@ -244,7 +247,11 @@ def _run_batched(engine, args, prompts):
     from .decoding import DecodeResult
 
     b = args.batch
-    bat = BatchedSpecEngine(engine, mode=args.mode)
+    dp_mesh = None
+    if args.dp > 1:
+        from .parallel import mesh as mesh_mod
+        dp_mesh = mesh_mod.make_mesh(dp=args.dp)
+    bat = BatchedSpecEngine(engine, mode=args.mode, mesh=dp_mesh)
     rows = [jnp.asarray(data_mod.fit_prompt(prompts[i % len(prompts)],
                                             args.prefill))
             for i in range(b)]
