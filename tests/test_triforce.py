@@ -130,3 +130,68 @@ def test_kv_state_after_step(setup):
     assert g2 in (SPEC.gamma, SPEC.gamma + 1)
     assert int(stats.n_emitted) == (int(stats.accepted) +
                                     int(stats.resampled) + int(stats.bonus))
+
+
+def test_accepted_eos_keeps_next_token_uncommitted():
+    """Accepted mid-stream EOS (unreachable in the reference, which always
+    breaks on EOS): next_token must stay OUT of the kv cache. Regression:
+    rollback used to keep the accepted EOS committed while also handing it
+    back as next_token, so continuing past EOS re-appended it — a
+    duplicated token and a position-shifted context for everything after.
+
+    Deterministic construction: probe a normal run, pick a mid-stream
+    ACCEPTED token from some step, then rebuild the engine with that token
+    as eos_token_id — same keys, same proposals, so that step now accepts
+    an EOS."""
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+
+    def mk(eos_id):
+        return Engine(TCFG, SPEC, t_params, prefill=PREFILL,
+                      max_cache_len=PREFILL + 64, dtype=jnp.float32,
+                      prefill_chunk=16, donate=False, eos_token_id=eos_id)
+
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, PREFILL), 3,
+                             TCFG.vocab_size)
+
+    def run(eos_id, steps=6):
+        eng = mk(eos_id)
+        st = eng.init_state(jax.random.PRNGKey(9))
+        st = eng.prefill_target(st, ids)
+        recs = []
+        for _ in range(steps):
+            st, stats = eng.retrieval_spec_step(st)
+            recs.append((np.asarray(stats.tokens).copy(),
+                         int(stats.accepted), int(stats.n_emitted),
+                         int(stats.resampled), int(stats.bonus),
+                         bool(stats.eos), int(st.kv.seq_len),
+                         int(st.next_token[0])))
+        return recs
+
+    probe = run(eos_id=-1)   # -1 never sampled: no EOS path taken
+    # find a step with >= 2 accepted tokens and take its FIRST accepted
+    # token (mid-stream: later accepts exist, so it is not the final pred)
+    target = next(((i, r) for i, r in enumerate(probe) if r[1] >= 2), None)
+    assert target is not None, "probe run never accepted 2+ tokens"
+    step_i, rec = target
+    eos_id = int(rec[0][0])
+
+    recs = run(eos_id=eos_id)
+    # same trajectory up to the EOS step (keys unchanged)
+    for i in range(step_i):
+        np.testing.assert_array_equal(recs[i][0], probe[i][0])
+    toks, acc, n_em, resampled, bonus, eos, seq_len, nxt = recs[step_i]
+    assert eos, "EOS flag must be set when an accepted token == eos_id"
+    if resampled == 0 and bonus == 0 and nxt == eos_id:
+        # the accepted-EOS-is-pred corner: the EOS must NOT be committed
+        # (committed this step = prev pending + accepted MINUS the pending
+        # EOS, i.e. seq advances by acc, not acc + 1)
+        prev_seq = PREFILL if step_i == 0 else recs[step_i - 1][6]
+        assert seq_len == prev_seq + acc, (seq_len, prev_seq, acc)
+    # invariant for every step: seq_len == PREFILL + total emitted — each
+    # step commits the previous pending token and leaves exactly its own
+    # last emitted token pending, so emitted and committed stay in lockstep
+    total_emitted = 0
+    for toks_i, acc_i, n_i, _, _, _, seq_i, _ in recs:
+        total_emitted += n_i
+        assert seq_i == PREFILL + total_emitted, (seq_i, total_emitted)

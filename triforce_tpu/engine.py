@@ -160,12 +160,6 @@ class Engine:
         if draft_cfg is not None:
             dcfg = draft_cfg
 
-            def _prefill_d(params, ids, dkv):
-                dkv = streaming_evict_prefill(dkv, sp,
-                                              self.draft_prefill_chunk)
-                return llama.draft_forward(dcfg, params, ids, dkv)
-            self._prefill_d = jax.jit(_prefill_d, donate_argnums=_dn(2))
-
             def _prefill_d_scan(params, chunks, dkv):
                 def sbody(dkv, ids):
                     dkv = streaming_evict_prefill(dkv, sp,
@@ -603,10 +597,15 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         rej_now = live & ~accept
         count = count + acc_now.astype(jnp.int32)
         pred = jnp.where(acc_now, tok, jnp.where(rej_now, res, pred))
-        eos_now = acc_now & (tok == eos_token_id)
+        # EOS can arrive on EITHER path: an accepted proposal or the
+        # residual resample (the reference breaks on pred_token_idx == eos
+        # unconditionally, decoding.py:107-121)
+        eos_now = (acc_now & (tok == eos_token_id)) | \
+            (rej_now & (res == eos_token_id))
         eos_hit = eos_hit | eos_now
         resampled = resampled | rej_now
-        continuing = continuing & ~rej_now & ~eos_now
+        continuing = continuing & ~rej_now & ~(acc_now &
+                                               (tok == eos_token_id))
         return (count, continuing, pred, resampled, eos_hit, key)
 
     key, kb = jax.random.split(key)
@@ -622,12 +621,19 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
     eos_hit = eos_hit | (bonus & (bonus_tok == eos_token_id))
 
     # --- cache commit: rollback + retrieval tail refresh ------------------
-    # appended gamma+2, want old + count + 1 kept (decoding.py:124)
-    kv = kv.rollback(gamma + 1 - count)
+    # appended gamma+2, want old + count + 1 kept (decoding.py:124).
+    # Accepted-EOS corner (unreachable in the reference, which always
+    # breaks its loop on EOS): pred stays the accepted EOS with no
+    # resample/bonus, so next_token would be a token the rollback ALREADY
+    # committed — re-appended next step as a duplicate. Keep the
+    # "next_token is never in kv" invariant by rolling back one extra slot
+    # so the EOS lives only in next_token until the next verify commits it.
+    has_final = resampled | bonus
+    eos_is_pred = eos_hit & ~has_final
+    kv = kv.rollback(gamma + 1 - count + eos_is_pred.astype(jnp.int32))
     rkv = retrieval_tail_refresh(state.rkv, kv, sp, prefill, old_seq_len)
 
     # --- emitted tokens this step ------------------------------------------
-    has_final = resampled | bonus
     pos = jnp.arange(gamma + 2)
     emitted = jnp.where(
         pos < count, gen_tokens[jnp.minimum(pos, gamma)],

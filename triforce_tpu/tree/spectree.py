@@ -112,6 +112,18 @@ class TreeEngine:
                                         shard_seq=shard_seq)[:2]
         self._prefill_t = jax.jit(_prefill_t, donate_argnums=_dn(2))
 
+        def _prefill_scan(params, chunks, kv):
+            # all full chunks in ONE dispatch (a host loop pays a dispatch
+            # round trip per chunk — ~60 ms each through a remote tunnel)
+            def sbody(kv, ids):
+                _, kv, _ = llama.forward_append(cfg, params, ids, kv,
+                                                need_logits=False, mesh=mesh,
+                                                shard_seq=shard_seq)
+                return kv, None
+            kv, _ = jax.lax.scan(sbody, kv, chunks)
+            return kv
+        self._prefill_scan = jax.jit(_prefill_scan, donate_argnums=_dn(2))
+
         def _build(params, ids, kv, rkv):
             return llama.forward_append(
                 cfg, params, ids, kv, build_rkv=rkv, prefill=prefill,
@@ -195,9 +207,10 @@ class TreeEngine:
         kv, rkv = state.kv, state.rkv
         body, c = input_ids[:, :-1], self.prefill_chunk
         n_full = body.shape[1] // c
-        for i in range(n_full):
-            _, kv = self._prefill_t(self.params, body[:, i * c:(i + 1) * c],
-                                    kv)
+        if n_full:
+            chunks = body[:, :n_full * c].reshape(1, n_full, c).transpose(
+                1, 0, 2)
+            kv = self._prefill_scan(self.params, chunks, kv)
         rem = body.shape[1] - n_full * c
         if rem:
             _, kv = self._prefill_t(self.params, body[:, -rem:], kv)
@@ -305,7 +318,7 @@ def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
             ok = live & (p[tok] > r * q[tok])
             rej = live & ~ok
             chosen = jnp.where(ok, child, chosen)
-            p = jnp.where(rej, _residual(p, q), p)
+            p = jnp.where(rej, sampling.max_fn(p - q), p)
             dl = jnp.where(rej, dl.at[tok].set(_NEG_INF), dl)
             return p, dl, chosen, key
 
@@ -338,10 +351,16 @@ def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
 
     # residual / bonus sample (SpecTree_TP.py:197-203)
     zero_res = jnp.sum(final_p) <= 0
-    terminal = eos_hit | zero_res
+    no_final = eos_hit | zero_res        # walk ended: nothing to sample
     key, ks = jax.random.split(key)
-    next_tok = jnp.where(terminal, jnp.int32(JUNK_TOKEN),
+    next_tok = jnp.where(no_final, jnp.int32(JUNK_TOKEN),
                          sampling.sample(ks, final_p).astype(jnp.int32))
+    # the residual/bonus sample can itself be EOS — it is still emitted
+    # (the reference emits, then breaks), but the loop must stop on it
+    res_eos = ~no_final & jnp.any(
+        next_tok == jnp.asarray(eos_ids, jnp.int32))
+    eos_hit = eos_hit | res_eos
+    terminal = no_final | res_eos
 
     # --- commit: compact accepted path + retrieval tail refresh ----------
     kv = gather_kv_incremental(kv, accept_idx, n_nodes, seq0, max_path,
@@ -355,8 +374,8 @@ def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
     acc_toks = verify_tokens[accept_idx[jnp.minimum(pos + 1, max_path - 1)]]
     emitted = jnp.where(
         pos < n_nodes - 1, acc_toks,
-        jnp.where((pos == n_nodes - 1) & ~terminal, next_tok, JUNK_TOKEN))
-    n_emitted = n_nodes - 1 + (~terminal).astype(jnp.int32)
+        jnp.where((pos == n_nodes - 1) & ~no_final, next_tok, JUNK_TOKEN))
+    n_emitted = n_nodes - 1 + (~no_final).astype(jnp.int32)
 
     new_state = state.replace(kv=kv, rkv=rkv, next_token=next_tok[None],
                               key=key)
@@ -364,15 +383,6 @@ def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
                           n_nodes=n_nodes, terminal=terminal, eos=eos_hit)
     return new_state, stats
 
-
-def _residual(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """relu(p - q) normalised; all-zero stays all-zero (-> terminal), exactly
-    like the reference's NaN check (get_residual, offloading_seqouia.py:24-27
-    + SpecTree_TP.py:199)."""
-    pos = jnp.maximum(p - q, 0.0)
-    s = jnp.sum(pos)
-    return jnp.where(s > 0, pos / jnp.where(s > 0, s, 1.0),
-                     jnp.zeros_like(pos))
 
 
 def tree_decode(engine: TreeEngine, input_ids, max_len: int = 256,
