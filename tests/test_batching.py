@@ -88,3 +88,34 @@ def test_scheduler_completes_requests(params):
         assert r.done
         assert len(r.out) >= 10
         assert all(0 <= t < TCFG.vocab_size for t in r.out)
+
+
+def test_rowwise_attention_partial_last_block():
+    """S not a multiple of the block: the final partial block's
+    dynamic_slice start clamps, and the column labels/masks must clamp WITH
+    it. Regression: keys in the overlap were double-counted and the real
+    tail keys masked out (2.4e-2 output error at S=3000, block=2048)."""
+    from triforce_tpu.batching import _rowwise_attention
+    b, hq, hkv, d, s, block = 2, 4, 2, 16, 300, 128   # 300 % 128 != 0
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, hq, 1, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.float32)
+    seq_lens = jnp.asarray([291, 123], jnp.int32)   # row 0 ends in the tail
+
+    m, l, acc = _rowwise_attention(q, k, v, seq_lens, block=block)
+    got = acc / l[..., None]                         # [B,Hkv,G,1,D]
+    got = got.reshape(b, hq, 1, d)
+
+    scale = 1.0 / np.sqrt(d)
+    for row in range(b):
+        n = int(seq_lens[row])
+        qg = np.asarray(q[row]).reshape(hkv, hq // hkv, d)
+        kk = np.asarray(k[row, :, :n])
+        vv = np.asarray(v[row, :, :n])
+        sc = np.einsum("hgd,hsd->hgs", qg, kk) * scale
+        p = np.exp(sc - sc.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = np.einsum("hgs,hsd->hgd", p, vv).reshape(hq, 1, d)
+        np.testing.assert_allclose(np.asarray(got[row]), want,
+                                   atol=1e-5, rtol=1e-5)

@@ -88,12 +88,16 @@ def _rowwise_attention(q, k, v, seq_lens, block: int = 2048):
 
     def body(i, c):
         m, l, acc = c
-        start = i * block
         width = min(block, s)  # static
+        # dynamic_slice clamps an out-of-range start (the final partial
+        # block when S % block != 0); label the columns with the CLAMPED
+        # start so they match the keys actually fetched, and mask the
+        # overlap with the previous block out of this one
+        start = jnp.minimum(i * block, s - width)
         k_blk = jax.lax.dynamic_slice_in_dim(k, start, width, axis=2)
         v_blk = jax.lax.dynamic_slice_in_dim(v, start, width, axis=2)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + start
-        valid = cols < seq_lens[:, None]            # [B, width]
+        valid = (cols < seq_lens[:, None]) & (cols >= i * block)  # [B,width]
         sc = jnp.einsum("bhgtd,bhsd->bhgts", qg, k_blk.astype(jnp.float32))
         sc = jnp.where(valid[:, None, None, None], sc, _NEG_INF)
         m_new = jnp.maximum(m, sc.max(axis=-1))
@@ -162,14 +166,17 @@ def batched_ar_step(cfg: ModelConfig, spec: SpecConfig, params,
 
     toks = jnp.where(state.live, toks, state.tokens)
     seq_lens = state.seq_lens + state.live.astype(jnp.int32)
-    # append to each live row's output buffer
+    # append to each live row's output buffer; a row at buffer capacity
+    # stops recording AND stops counting, so n_out can never run past what
+    # out_buf actually holds (the scheduler retires such rows at cap)
     rows = jnp.arange(b)
     cap = state.out_buf.shape[1]
+    can_write = state.live & (state.n_out < cap)
     idx = jnp.clip(state.n_out, 0, cap - 1)
     cur = state.out_buf[rows, idx]
     out_buf = state.out_buf.at[rows, idx].set(
-        jnp.where(state.live, toks, cur))
-    n_out = state.n_out + state.live.astype(jnp.int32)
+        jnp.where(can_write, toks, cur))
+    n_out = state.n_out + can_write.astype(jnp.int32)
     return state.replace(k=ck, v=cv, seq_lens=seq_lens, tokens=toks,
                          out_buf=out_buf, n_out=n_out, key=key)
 
@@ -199,14 +206,15 @@ class Scheduler:
     def __init__(self, cfg: ModelConfig, spec: SpecConfig, params, *,
                  batch: int = 4, max_len: int = 4096,
                  prefill_chunk: int = 256, eos_token_id: int = 2,
-                 dtype=jnp.bfloat16, segment: int = 16, seed: int = 0):
+                 dtype=jnp.bfloat16, segment: int = 16, seed: int = 0,
+                 out_cap: int = 1024):
         self.cfg, self.spec, self.params = cfg, spec, params
         self.batch, self.max_len = batch, max_len
         self.prefill_chunk = prefill_chunk
         self.eos = eos_token_id
         self.segment = segment
         self.state = init_batch(cfg, batch, max_len, jax.random.PRNGKey(seed),
-                                dtype)
+                                dtype, out_cap=out_cap)
         self.slot_req: List[Optional[Request]] = [None] * batch
         self.queue: List[Request] = []
 
@@ -290,7 +298,12 @@ class Scheduler:
                 hit_eos = self.eos in req.out
                 if hit_eos:
                     req.out = req.out[: req.out.index(self.eos) + 1]
-                if hit_eos or len(req.out) >= req.max_new_tokens:
+                at_cap = n_out[slot] >= self.state.out_buf.shape[1]
+                if len(req.out) >= req.max_new_tokens:
+                    # trim the segment overshoot to the requested limit
+                    # (the EOS path above already trims)
+                    req.out = req.out[: req.max_new_tokens]
+                if hit_eos or len(req.out) >= req.max_new_tokens or at_cap:
                     req.done = True
                     done.append(req)
                     self.slot_req[slot] = None

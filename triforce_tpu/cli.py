@@ -256,6 +256,7 @@ def _run_batched(engine, args, prompts):
                                             args.prefill))
             for i in range(b)]
     state = bat.prefill_rows(rows, [args.seed + i for i in range(b)])
+    _ = int(np.asarray(state.next_token)[0])   # prefill completes BEFORE t0
     # fixed step count sized for ~gen_len tokens/row at >=1 token/step
     steps = args.gen_len
     t0 = time.perf_counter()

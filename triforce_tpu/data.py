@@ -89,6 +89,11 @@ def get_dataset(name: str, tokenizer=None, datalen: Optional[int] = None,
                 data_dir: str = "data/pg19", vocab_size: int = 32000,
                 seed: int = 0) -> List[np.ndarray]:
     """Prompt source registry. reference: data/dataset.py:17-74."""
+    if name != "synthetic" and tokenizer is None:
+        raise ValueError(
+            f"dataset {name!r} needs a tokenizer, but none is available "
+            "(preset models have no HF tokenizer). Use --dataset synthetic, "
+            "or point --model at a local HF checkpoint directory.")
     if name == "128k":
         return _pg19_prompts(tokenizer, None, data_dir)
     if name == "gs":

@@ -102,12 +102,10 @@ def state_shardings(mesh: Mesh, target_cfg: ModelConfig, draft_cfg,
     # retrieval cache: small (budget+gamma+1) — shard heads only
     rkv = kv_shardings(mesh, target_cfg, shard_seq=False)
     rep = NamedSharding(mesh, P())
-    if draft_cfg is not None:
-        # the 68M drafter is replicated (reference replicates it on every
-        # rank too: TP_llama.py draft runs on all ranks)
-        dkv_s = rep
-    else:
-        dkv_s = rep
+    # the 68M drafter cache is replicated whether or not a drafter exists
+    # (the reference replicates its drafter on every rank too:
+    # TP_llama.py draft runs on all ranks)
+    dkv_s = rep
     scalar = rep
     kv_extra = {}
     rkv_extra = {}
