@@ -160,3 +160,34 @@ def test_rope_variants():
     # kinds genuinely differ
     assert not np.allclose(tables["dynamic"], tables["llama"])
     assert not np.allclose(tables["yarn"], tables["llama"])
+
+
+def test_dynamic_ntk_matches_hf_formula():
+    """kind='dynamic' must use the HF dynamic-NTK base multiplier
+    factor*seq/orig - (factor-1), not the bare seq/orig ratio (regression:
+    the configured factor was dropped entirely)."""
+    from triforce_tpu.config import RopeConfig
+    from triforce_tpu.models import rope as rope_mod
+    d, orig, factor, max_len = 64, 1024, 4.0, 4096
+    rc = RopeConfig(kind="dynamic", theta=10000.0, scaling_factor=factor,
+                    original_max_position_embeddings=orig)
+    inv = rope_mod.inv_freq_for(rc, d, max_len)
+    mult = factor * max_len / orig - (factor - 1.0)     # = 13, not 4
+    base = 10000.0 * mult ** (d / (d - 2))
+    want = 1.0 / base ** (np.arange(0, d, 2, dtype=np.float32) / d)
+    np.testing.assert_allclose(np.asarray(inv), want, rtol=1e-6)
+
+
+def test_config_from_hf_rope_type_key_and_drafter_slots():
+    """Modern HF configs serialize rope_scaling under 'rope_type'; drafter
+    loads must set rope_on_slots (no HF field encodes it)."""
+    from triforce_tpu.models import hf as hf_mod
+    base = dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                max_position_embeddings=8192, rope_theta=10000.0)
+    cfg = hf_mod.config_from_hf(
+        dict(base, rope_scaling={"rope_type": "yarn", "factor": 32.0,
+                                 "original_max_position_embeddings": 4096}))
+    assert cfg.rope.kind == "yarn" and cfg.rope.scaling_factor == 32.0
+    dcfg = hf_mod.config_from_hf(dict(base), rope_on_slots=True)
+    assert dcfg.rope_on_slots

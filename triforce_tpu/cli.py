@@ -80,7 +80,7 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_model(spec: str, dtype):
+def load_model(spec: str, dtype, drafter: bool = False):
     """Resolve preset name -> random params, else HF checkpoint."""
     import jax
     from . import config as C
@@ -91,8 +91,10 @@ def load_model(spec: str, dtype):
         params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
         return cfg, params, None
     path = hf.resolve_checkpoint(spec)
+    # drafter checkpoints need StreamingLLM re-rotation semantics
+    # (un-rotated key storage) — a framework choice no HF field encodes
     cfg, params = hf.load_params(path, dtype=str(dtype.dtype if hasattr(
-        dtype, "dtype") else dtype))
+        dtype, "dtype") else dtype), rope_on_slots=drafter)
     tokenizer = None
     try:
         from transformers import AutoTokenizer
@@ -199,7 +201,7 @@ def main(argv=None):
     else:
         d_cfg = d_params = None
         if args.mode == "triforce":
-            d_cfg, d_params, _ = load_model(args.draft, dtype)
+            d_cfg, d_params, _ = load_model(args.draft, dtype, drafter=True)
         engine = Engine(
             t_cfg, spec, t_params, draft_cfg=d_cfg, draft_params=d_params,
             prefill=args.prefill,

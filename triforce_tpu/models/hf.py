@@ -21,11 +21,18 @@ import numpy as np
 from ..config import ModelConfig, RopeConfig
 
 
-def config_from_hf(cfg: dict) -> ModelConfig:
+def config_from_hf(cfg: dict, rope_on_slots: bool = False) -> ModelConfig:
     """Translate an HF Llama ``config.json`` dict (including the yarn
-    ``rope_scaling`` schema of the reference's config_yarn.py:184-193)."""
+    ``rope_scaling`` schema of the reference's config_yarn.py:184-193).
+
+    ``rope_on_slots``: set for DRAFTER checkpoints — it selects the
+    StreamingLLM whole-window re-rotation semantics (un-rotated key
+    storage, modeling_llama_68m.py:151-178), which is a framework-side
+    choice no HF config field encodes."""
     rs = cfg.get("rope_scaling") or {}
-    kind = rs.get("type", "llama")
+    # modern transformers serialize the kind under 'rope_type'; older
+    # configs (and the reference's config_yarn.py) use 'type'
+    kind = rs.get("rope_type", rs.get("type", "llama"))
     if kind in ("yarn", "dynamic-yarn", "ntk-by-parts", "linear", "dynamic"):
         # every scaling type the reference's config validates
         # (config_yarn.py:184-193) maps to its own rope.py kind; the
@@ -57,6 +64,7 @@ def config_from_hf(cfg: dict) -> ModelConfig:
         max_position_embeddings=int(cfg.get("max_position_embeddings", 4096)),
         rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-5)),
         rope=rope,
+        rope_on_slots=rope_on_slots,
         tie_word_embeddings=bool(cfg.get("tie_word_embeddings", False)),
     )
 
@@ -90,7 +98,8 @@ def _read_state_dict(model_dir: str) -> dict:
 
 
 def load_params(model_dir: str, dtype="bfloat16",
-                cfg: Optional[ModelConfig] = None
+                cfg: Optional[ModelConfig] = None,
+                rope_on_slots: bool = False,
                 ) -> Tuple[ModelConfig, dict]:
     """Load a local HF Llama checkpoint into (ModelConfig, params pytree).
 
@@ -103,7 +112,7 @@ def load_params(model_dir: str, dtype="bfloat16",
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     if cfg is None:
-        cfg = config_from_hf(hf_cfg)
+        cfg = config_from_hf(hf_cfg, rope_on_slots=rope_on_slots)
     sd = _read_state_dict(model_dir)
     jdt = jnp.dtype(dtype)
 
@@ -167,11 +176,23 @@ def resolve_checkpoint(name_or_dir: str) -> str:
     repo = MODEL_ZOO.get(name_or_dir, name_or_dir)
     cache = os.environ.get(
         "HF_HOME", os.path.expanduser("~/.cache/huggingface"))
-    snap_root = os.path.join(cache, "hub",
-                             "models--" + repo.replace("/", "--"),
-                             "snapshots")
+    repo_root = os.path.join(cache, "hub",
+                             "models--" + repo.replace("/", "--"))
+    snap_root = os.path.join(repo_root, "snapshots")
     if os.path.isdir(snap_root):
-        snaps = sorted(os.listdir(snap_root))
+        # prefer the revision refs/main points at (hub cache layout);
+        # fall back to newest-by-mtime — NOT lexicographic hash order,
+        # which is unrelated to recency
+        ref = os.path.join(repo_root, "refs", "main")
+        if os.path.isfile(ref):
+            with open(ref) as f:
+                rev = f.read().strip()
+            cand = os.path.join(snap_root, rev)
+            if os.path.isdir(cand):
+                return cand
+        snaps = sorted(os.listdir(snap_root),
+                       key=lambda s: os.path.getmtime(
+                           os.path.join(snap_root, s)))
         if snaps:
             return os.path.join(snap_root, snaps[-1])
     raise FileNotFoundError(

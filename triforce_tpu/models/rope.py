@@ -74,9 +74,15 @@ def inv_freq_for(rope: RopeConfig, head_dim: int,
         # HF linear position interpolation: positions divided by scale
         return 1.0 / (scale * pos_freqs)
     if rope.kind == "dynamic":
-        # NTK-aware dynamic scaling: grow the base so the highest frequency
-        # is untouched while low frequencies interpolate
-        base = rope.theta * (scale ** (head_dim / (head_dim - 2)))
+        # NTK-aware dynamic scaling, resolved once at table-build time with
+        # the HF formula: base *= (factor * seq/orig - (factor - 1))^(d/(d-2))
+        # — the checkpoint's configured factor enters the multiplier, it is
+        # NOT just seq/orig (transformers modeling_llama dynamic NTK)
+        orig = rope.original_max_position_embeddings
+        seq = max(max_len, orig)
+        mult = max(rope.scaling_factor * seq / orig
+                   - (rope.scaling_factor - 1.0), 1.0)
+        base = rope.theta * (mult ** (head_dim / (head_dim - 2)))
         return 1.0 / (base ** (
             np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
     if rope.kind in ("yarn", "dynamic-yarn", "ntk-by-parts"):

@@ -35,8 +35,13 @@ from .attention import (attention_partials, new_block_partials,
 
 
 def _pallas_ok(b: int, s_loc: int, gt: int) -> bool:
-    return (b == 1 and s_loc % 512 == 0 and s_loc >= 2048 and gt <= 64
+    from .attention import _PALLAS_DISABLED
+    # same admission as the unsharded path (attention.py): kernel up to
+    # gt=128 (measured crossover vs XLA partials sits between 128 and 256),
+    # honoring the pallas_disabled() escape hatch
+    return (b == 1 and s_loc % 512 == 0 and s_loc >= 2048 and gt <= 128
             and jax.default_backend() == "tpu"
+            and not _PALLAS_DISABLED[0]
             and not os.environ.get("TRIFORCE_NO_PALLAS"))
 
 
