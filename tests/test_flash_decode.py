@@ -231,3 +231,33 @@ def test_custom_vmap_rule_matches_unbatched():
         np.testing.assert_allclose(
             np.asarray(got[i, 0].reshape(hkv, (hq // hkv) * t, d)),
             np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_custom_vmap_wrapper_unbatched_path():
+    """The _pallas_cv wrappers must behave exactly like a direct
+    append_attention_pallas call when NOT vmapped (they are the TPU
+    dispatch path now), including under jit. Runs interpret-mode kernels
+    via monkeypatch since CPU dispatch never admits Pallas."""
+    import functools as ft
+    from triforce_tpu.ops import attention as A
+    from triforce_tpu.ops import flash_decode as F
+
+    q, k, v, kn, vn = _mk(4, 2, 2, 512, 64, seed=31)
+    k_len = jnp.int32(300)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2, 2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (2, 2), 1)
+    nmask = cols <= rows
+
+    orig = F.append_attention_pallas
+    try:
+        F.append_attention_pallas = ft.partial(orig, interpret=True)
+        got = jax.jit(A._pallas_cv)(q, k, v, kn, vn, k_len, nmask)
+        got2 = A._pallas_cv(q, k, v, kn, vn, k_len, nmask)
+    finally:
+        F.append_attention_pallas = orig
+    want = orig(q, k, v, kn, vn, k_len=k_len, new_mask=nmask,
+                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
