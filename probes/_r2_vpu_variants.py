@@ -144,7 +144,7 @@ def make_variant(variant: str, hkv: int, s: int, d: int, gt: int,
     return call
 
 
-def time_slope(fn, args_fn, n_lo=4, n_hi=24):
+def time_slope(fn, args_fn, n_lo=16, n_hi=144):
     """Slope timing: run fn n times inside one jitted while_loop, chaining
     the q input off the previous output so nothing is replayable."""
     def chained(n, q8, qs, klen, k, v, ks, vs):

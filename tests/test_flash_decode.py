@@ -94,6 +94,107 @@ def test_kernel_quantized_cache():
 
 
 @pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("layer", [0, 1, 2])
+def test_kernel_stacked_layer_matches_slab(quant, layer):
+    """Zero-copy stacked-cache path: the kernel reading layer ``l`` of an
+    [L,1,Hkv,S,D] stack must equal the plain kernel on that layer's slab
+    (the layer coordinate rides a second scalar-prefetch arg into the
+    BlockSpec index maps)."""
+    from triforce_tpu.cache import quantize_tokens
+    L, s, d, t = 3, 512, 32, 2
+    hq = hkv = 4
+    keys = jax.random.split(jax.random.PRNGKey(layer + 10 * quant), 5)
+    q = jax.random.normal(keys[0], (1, hq, t, d), jnp.float32)
+    kst = jax.random.normal(keys[1], (L, 1, hkv, s, d), jnp.float32)
+    vst = jax.random.normal(keys[2], (L, 1, hkv, s, d), jnp.float32)
+    kn = jax.random.normal(keys[3], (1, hkv, t, d), jnp.float32)
+    vn = jax.random.normal(keys[4], (1, hkv, t, d), jnp.float32)
+    kss = vss = None
+    if quant:
+        kst, kss = quantize_tokens(kst)
+        vst, vss = quantize_tokens(vst)
+    k_len = jnp.asarray(333)
+    want = append_attention_pallas(
+        q, kst[layer], vst[layer], kn, vn, k_len=k_len, block=BLOCK,
+        interpret=True,
+        k_scale=None if not quant else kss[layer],
+        v_scale=None if not quant else vss[layer])
+    got = append_attention_pallas(
+        q, kst, vst, kn, vn, k_len=k_len, block=BLOCK, interpret=True,
+        k_scale=kss, v_scale=vss, layer=jnp.asarray(layer))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_stacked_partials_match_slab():
+    from triforce_tpu.ops.flash_decode import flash_decode_partials
+    L, hkv, s, d, gt = 3, 2, 512, 32, 4
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(keys[0], (hkv, gt, d), jnp.float32)
+    kst = jax.random.normal(keys[1], (L, hkv, s, d), jnp.float32)
+    vst = jax.random.normal(keys[2], (L, hkv, s, d), jnp.float32)
+    for layer in (0, 2):
+        want = flash_decode_partials(q, kst[layer], vst[layer],
+                                     jnp.asarray(400), block=BLOCK,
+                                     interpret=True)
+        got = flash_decode_partials(q, kst, vst, jnp.asarray(400),
+                                    block=BLOCK, interpret=True,
+                                    layer=jnp.asarray(layer))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-6, rtol=1e-6)
+
+
+def test_auto_stacked_fallback_matches_slab():
+    """append_attention_auto with ``layer`` on the XLA fallback (CPU) must
+    equal the slab call — the path every CPU test of the model forwards
+    now exercises."""
+    L, s, d, t = 3, 512, 32, 2
+    hq, hkv = 4, 2
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    q = jax.random.normal(keys[0], (1, hq, t, d), jnp.float32)
+    kst = jax.random.normal(keys[1], (L, 1, hkv, s, d), jnp.float32)
+    vst = jax.random.normal(keys[2], (L, 1, hkv, s, d), jnp.float32)
+    kn = jax.random.normal(keys[3], (1, hkv, t, d), jnp.float32)
+    vn = jax.random.normal(keys[4], (1, hkv, t, d), jnp.float32)
+    for layer in (0, 1, 2):
+        want = attention.append_attention(q, kst[layer], vst[layer], kn, vn,
+                                          k_len=jnp.asarray(200))
+        got = attention.append_attention_auto(
+            q, kst, vst, kn, vn, k_len=jnp.asarray(200),
+            layer=jnp.asarray(layer))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_auto_stacked_under_vmap_matches_rows():
+    """Batched speculation path: vmapped stacked call lowers through the
+    stacked custom_vmap rule (slice layer -> row-batched kernel on TPU; on
+    CPU the fallback) and must equal per-row slab attention."""
+    B, L, s, d, t = 2, 3, 512, 32, 1
+    hq = hkv = 2
+    keys = jax.random.split(jax.random.PRNGKey(11), 5)
+    q = jax.random.normal(keys[0], (B, 1, hq, t, d), jnp.float32)
+    kst = jax.random.normal(keys[1], (B, L, 1, hkv, s, d), jnp.float32)
+    vst = jax.random.normal(keys[2], (B, L, 1, hkv, s, d), jnp.float32)
+    kn = jax.random.normal(keys[3], (B, 1, hkv, t, d), jnp.float32)
+    vn = jax.random.normal(keys[4], (B, 1, hkv, t, d), jnp.float32)
+    k_lens = jnp.asarray([300, 77])
+    layer = jnp.asarray(1)
+
+    def one(q, k, v, kn, vn, kl):
+        return attention.append_attention_auto(q, k, v, kn, vn, k_len=kl,
+                                               layer=layer)
+
+    got = jax.vmap(one)(q, kst, vst, kn, vn, k_lens)
+    for b in range(B):
+        want = attention.append_attention(
+            q[b], kst[b, 1], vst[b, 1], kn[b], vn[b], k_len=k_lens[b])
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
 def test_kernel_prefill_chunk_shapes(quant):
     """Flash-PREFILL: a whole chunk of queries (gt = T >> 64) against the
     committed prefix + causal self-block — the shape class the dispatch

@@ -246,9 +246,21 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     quant = kv.quantized
     assert not (quant and cfg.rope_on_slots), \
         "un-rotated-key (drafter) caches are not quantized"
+    # Zero-copy layer addressing: scan over a layer INDEX and let the
+    # attention op read the stacked cache in place. Scanning the cache as
+    # xs hands the kernel a sliced slab operand, which XLA materialises as
+    # an HBM->HBM copy — measured at ~2x the kernel's own cost per layer at
+    # 64K (probes/_r2_scanxs.py). rope_on_slots (drafter) still needs the
+    # materialised slab (whole-window re-rotation); sharded forwards keep
+    # slab xs until append_attention_sharded grows a stacked path.
+    stacked = (not cfg.rope_on_slots) and mesh is None
 
     def body(x, xs):
-        lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, quant)
+        if stacked:
+            lp, li = xs
+            k_all = v_all = ks_all = vs_all = None
+        else:
+            lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, quant)
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
@@ -267,6 +279,11 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                 mesh, q, k_cache, v_all, k_att, v_new, k_len=seq_len0,
                 new_mask=new_mask, k_scale=ks_all, v_scale=vs_all,
                 shard_seq=shard_seq)
+        elif stacked:
+            ctx = append_attention_auto(q, kv.k, kv.v, k_att, v_new,
+                                        k_len=seq_len0, new_mask=new_mask,
+                                        k_scale=kv.k_scale,
+                                        v_scale=kv.v_scale, layer=li)
         else:
             ctx = append_attention_auto(q, k_cache, v_all, k_att, v_new,
                                         k_len=seq_len0, new_mask=new_mask,
@@ -277,7 +294,11 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         ys = (k_store, v_new, q) if building else (k_store, v_new)
         return x, ys
 
-    x, ys = jax.lax.scan(body, x, (params["layers"],) + _cache_xs(kv))
+    if stacked:
+        xs_in = (params["layers"], jnp.arange(cfg.num_layers))
+    else:
+        xs_in = (params["layers"],) + _cache_xs(kv)
+    x, ys = jax.lax.scan(body, x, xs_in)
     if building:
         new_k, new_v, qs = ys
     else:
@@ -337,9 +358,13 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 
     x = jnp.take(params["embed"], input_ids, axis=0)
     quant = rkv.quantized
+    stacked = mesh is None  # zero-copy layer addressing (see forward_append)
 
     def body(x, xs):
-        lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, quant)
+        if stacked:
+            lp, li = xs
+        else:
+            lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, quant)
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
@@ -351,15 +376,19 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                 mesh, q, k_all, v_all, k_new, v_new, k_len=k_len,
                 k_scale=ks_all, v_scale=vs_all, shard_seq=False)
         else:
-            ctx = append_attention_auto(q, k_all, v_all, k_new, v_new,
-                                        k_len=k_len, k_scale=ks_all,
-                                        v_scale=vs_all)
+            ctx = append_attention_auto(q, rkv.k, rkv.v, k_new, v_new,
+                                        k_len=k_len, k_scale=rkv.k_scale,
+                                        v_scale=rkv.v_scale, layer=li)
         x = x + _attn_out(ctx, lp)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
         x = x + _mlp(h, lp)
         return x, (k_new, v_new)
 
-    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"],) + _cache_xs(rkv))
+    if stacked:
+        xs_in = (params["layers"], jnp.arange(cfg.num_layers))
+    else:
+        xs_in = (params["layers"],) + _cache_xs(rkv)
+    x, (nk, nv) = jax.lax.scan(body, x, xs_in)
     if not commit:
         # full-width spec forwards recompute every scratch row from their
         # own inputs and the new-block attention covers them — persisting

@@ -276,19 +276,93 @@ def _pallas_cv_quant_vmap(axis_size, in_batched, *args):
     return _cv_rule(True, axis_size, in_batched, *args)
 
 
+# Stacked-cache (zero-copy per-layer) wrappers: k/v arrive as the WHOLE
+# [L,1,Hkv,S,D] cache plus a traced layer index; the kernel DMAs blocks of
+# that layer straight from the stack (no per-layer slab materialisation —
+# probes/_r2_scanxs.py measured the slab copy at ~2x the kernel's own
+# bandwidth cost). Under vmap the rule slices the layer and delegates to
+# the row-batched rule (the slice copy returns, but batched rows at batched
+# contexts are short — and correctness is preserved).
+
+def _cv_rule_stacked(quant, axis_size, in_batched, *args):
+    if quant:
+        (q, k_st, v_st, k_new, v_new, k_len, new_mask, layer, ks_st,
+         vs_st) = args
+        (qb, kb, vb, knb, vnb, klb, nmb, lyb, ksb, vsb) = in_batched
+    else:
+        q, k_st, v_st, k_new, v_new, k_len, new_mask, layer = args
+        qb, kb, vb, knb, vnb, klb, nmb, lyb = in_batched
+        ks_st = vs_st = None
+    ly = layer[0] if lyb else layer  # rows share the layer index (scan)
+
+    def sel(stack, bat):
+        if stack is None:
+            return None
+        # batched stack: [B, L, 1, ...]; unbatched: [L, 1, ...]
+        axis = 1 if bat else 0
+        return jnp.take(stack, ly, axis=axis)
+
+    k_l, v_l = sel(k_st, kb), sel(v_st, vb)
+    sub_args = (q, k_l, v_l, k_new, v_new, k_len, new_mask)
+    sub_bat = (qb, kb, vb, knb, vnb, klb, nmb)
+    if quant:
+        sub_args += (sel(ks_st, ksb), sel(vs_st, vsb))
+        sub_bat += (ksb, vsb)
+    return _cv_rule(quant, axis_size, sub_bat, *sub_args)
+
+
+@jax.custom_batching.custom_vmap
+def _pallas_cv_stacked(q, k_st, v_st, k_new, v_new, k_len, new_mask, layer):
+    from .flash_decode import append_attention_pallas
+    return append_attention_pallas(q, k_st, v_st, k_new, v_new,
+                                   k_len=k_len, new_mask=new_mask,
+                                   layer=layer)
+
+
+@_pallas_cv_stacked.def_vmap
+def _pallas_cv_stacked_vmap(axis_size, in_batched, *args):
+    return _cv_rule_stacked(False, axis_size, in_batched, *args)
+
+
+@jax.custom_batching.custom_vmap
+def _pallas_cv_quant_stacked(q, k_st, v_st, k_new, v_new, k_len, new_mask,
+                             layer, k_scale, v_scale):
+    from .flash_decode import append_attention_pallas
+    return append_attention_pallas(q, k_st, v_st, k_new, v_new,
+                                   k_len=k_len, new_mask=new_mask,
+                                   layer=layer, k_scale=k_scale,
+                                   v_scale=v_scale)
+
+
+@_pallas_cv_quant_stacked.def_vmap
+def _pallas_cv_quant_stacked_vmap(axis_size, in_batched, *args):
+    return _cv_rule_stacked(True, axis_size, in_batched, *args)
+
+
 def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
                           cache_mask_fn=None, new_mask=None,
                           block: int = 2048, k_scale=None,
-                          v_scale=None) -> jnp.ndarray:
+                          v_scale=None, layer=None) -> jnp.ndarray:
     """Dispatch to the Pallas flash-decode kernel when eligible (TPU backend,
     B=1, no extra cache mask, cache length a multiple of the DMA block),
     else the portable XLA path. ``TRIFORCE_NO_PALLAS=1`` disables the
-    kernel."""
+    kernel.
+
+    ``layer`` (traced i32, optional): k_cache/v_cache are the WHOLE stacked
+    [L,B,Hkv,S,D] cache (scales [L,B,Hkv,S]) and the kernel reads layer
+    ``layer`` in place. Model layer scans MUST use this instead of slicing
+    per-layer slabs: a sliced slab operand costs an HBM->HBM copy of the
+    slab per call — measured ~2x the kernel's own time at 64K
+    (probes/_r2_scanxs.py vs probes/_r2_kern_iso.py)."""
     import os
-    s = k_cache.shape[2]
-    gt = q.shape[1] * q.shape[2] // k_cache.shape[1]  # per-head rows G*T
+    stacked = layer is not None
+    if stacked:
+        batch, hkv, s = k_cache.shape[1], k_cache.shape[2], k_cache.shape[3]
+    else:
+        batch, hkv, s = k_cache.shape[0], k_cache.shape[1], k_cache.shape[2]
+    gt = q.shape[1] * q.shape[2] // hkv  # per-head rows G*T
     use_pallas = (
-        cache_mask_fn is None and q.shape[0] == 1
+        cache_mask_fn is None and q.shape[0] == 1 and batch == 1
         and s % 512 == 0 and s >= 2048
         and gt <= 128  # decode/verify/tree shapes only. Prefill chunks
                        # (gt >= 256) measured FASTER on the XLA partials
@@ -323,10 +397,27 @@ def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
             new_mask = cols <= rows
         nm = jnp.asarray(new_mask, bool)
         kl = jnp.asarray(k_len, jnp.int32)
+        if stacked:
+            ly = jnp.asarray(layer, jnp.int32)
+            if k_scale is None:
+                return _pallas_cv_stacked(q, k_cache, v_cache, k_new,
+                                          v_new, kl, nm, ly)
+            return _pallas_cv_quant_stacked(q, k_cache, v_cache, k_new,
+                                            v_new, kl, nm, ly, k_scale,
+                                            v_scale)
         if k_scale is None:
             return _pallas_cv(q, k_cache, v_cache, k_new, v_new, kl, nm)
         return _pallas_cv_quant(q, k_cache, v_cache, k_new, v_new, kl, nm,
                                 k_scale, v_scale)
+    if stacked:
+        # portable fallback: slice the layer slab (one copy — exactly what
+        # the pre-stacked code paid) and run the XLA partials path
+        ly = jnp.asarray(layer, jnp.int32)
+        k_cache = jnp.take(k_cache, ly, axis=0)
+        v_cache = jnp.take(v_cache, ly, axis=0)
+        if k_scale is not None:
+            k_scale = jnp.take(k_scale, ly, axis=0)
+            v_scale = jnp.take(v_scale, ly, axis=0)
     return append_attention(q, k_cache, v_cache, k_new, v_new, k_len=k_len,
                             cache_mask_fn=cache_mask_fn, new_mask=new_mask,
                             block=block, k_scale=k_scale, v_scale=v_scale)

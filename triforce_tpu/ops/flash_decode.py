@@ -92,8 +92,14 @@ def _fold_new_and_finalize(q, qs, kn, vn, bias, m, l, acc, quant: bool):
     return acc / jnp.maximum(l, 1e-37)
 
 
-def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
-            block: int, scale: float, quant: bool):
+def _kernel(klen_ref, *rest, block: int, scale: float, quant: bool,
+            stacked: bool = False):
+    if stacked:
+        # layer index arrives as a second scalar-prefetch ref; only the
+        # BlockSpec index maps consume it — the body never reads it
+        _layer_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs = rest
+    else:
+        q_ref, kn_ref, vn_ref, bias_ref, *refs = rest
     if quant:
         (qs_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_sc, l_sc,
          acc_sc) = refs
@@ -137,12 +143,17 @@ def _kernel(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
             bias_ref[:, :], m_sc[:], l_sc[:], acc_sc[:], quant)
 
 
-def _kernel_partials(klen_ref, q_ref, *refs, block: int, quant: bool):
+def _kernel_partials(klen_ref, *rest, block: int, quant: bool,
+                     stacked: bool = False):
     """Cache-only online-softmax partials: like ``_kernel`` but WITHOUT the
     new-token fold/normalisation — emits (m, l, acc) so a sequence-sharded
     decode can psum-merge per-shard partials over ICI (ops/sp_attention.py).
     The (m, l, acc) outputs double as the accumulators: their blocks stay
     resident in VMEM across the sequential grid and write back once."""
+    if stacked:
+        _layer_ref, q_ref, *refs = rest
+    else:
+        q_ref, *refs = rest
     if quant:
         (qs_ref, k_ref, v_ref, ks_ref, vs_ref, m_ref, l_ref, acc_ref) = refs
     else:
@@ -181,39 +192,60 @@ def _kernel_partials(klen_ref, q_ref, *refs, block: int, quant: bool):
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def flash_decode_partials(q, k, v, k_len, block: int = 512,
                           interpret: bool = False, k_scale=None,
-                          v_scale=None):
+                          v_scale=None, layer=None):
     """Cache-only partials for sequence-sharded decode: q [Hkv, GT, D] vs
     k/v [Hkv, S, D] (S % block == 0), bounded by traced ``k_len``. Returns
     (m [Hkv, GT], l [Hkv, GT], acc [Hkv, GT, D]) fp32 — mergeable with
     ``ops.attention.merge_partials`` across shards (after a psum/pmax) and
-    with the new-token block."""
+    with the new-token block.
+
+    ``layer`` (traced i32, optional): k/v are the stacked [L, Hkv, S, D]
+    cache and blocks DMA straight from layer ``layer`` — the zero-copy
+    per-layer path (see ``flash_decode_append``)."""
+    stacked = layer is not None
     hkv, gt, d = q.shape
-    s = k.shape[1]
+    s = k.shape[2] if stacked else k.shape[1]
     assert s % block == 0, (s, block)
     scale = 1.0 / math.sqrt(d)
     nb_max = s // block
 
-    def kv_index(i, klen_ref):
+    def clamp(i, klen_ref):
         last = jnp.maximum(pl.cdiv(klen_ref[0], block) - 1, 0)
-        return (0, jnp.minimum(i, last), 0)
+        return jnp.minimum(i, last)
+
+    if stacked:
+        def kv_index(i, kl, ly):
+            return (ly[0], 0, clamp(i, kl), 0)
+
+        def sc_index(i, kl, ly):
+            return (ly[0], 0, clamp(i, kl))
+        kv_shape = (None, hkv, block, d)
+        sc_shape = (None, hkv, block)
+    else:
+        def kv_index(i, kl):
+            return (0, clamp(i, kl), 0)
+
+        def sc_index(i, kl):
+            return (0, clamp(i, kl))
+        kv_shape = (hkv, block, d)
+        sc_shape = (hkv, block)
 
     quant = k_scale is not None
-    kernel = functools.partial(_kernel_partials, block=block, quant=quant)
+    kernel = functools.partial(_kernel_partials, block=block, quant=quant,
+                               stacked=stacked)
     kv_specs = ([pl.BlockSpec((hkv, gt), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)]   # q scales
                 if quant else []) + [
-        pl.BlockSpec((hkv, block, d), kv_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((hkv, block, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(kv_shape, kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(kv_shape, kv_index, memory_space=pltpu.VMEM),
     ]
     if quant:
         kv_specs += [
-            pl.BlockSpec((hkv, block), lambda i, kl: kv_index(i, kl)[:2],
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hkv, block), lambda i, kl: kv_index(i, kl)[:2],
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sc_shape, sc_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sc_shape, sc_index, memory_space=pltpu.VMEM),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if stacked else 1,
         grid=(nb_max,),
         in_specs=[
             pl.BlockSpec((hkv, gt, d), lambda i, *_: (0, 0, 0),
@@ -229,13 +261,16 @@ def flash_decode_partials(q, k, v, k_len, block: int = 512,
         ),
     )
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # pre-scale once
-    args = [jnp.asarray(k_len, jnp.int32).reshape(1), q]
     if quant:
         qf = q.astype(jnp.float32)
         qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1) / 127.0, 1e-20)
-        q8 = jnp.clip(jnp.round(qf / qs[..., None]), -127, 127
-                      ).astype(jnp.int8)
-        args[1] = q8
+        q = jnp.clip(jnp.round(qf / qs[..., None]), -127, 127
+                     ).astype(jnp.int8)
+    args = [jnp.asarray(k_len, jnp.int32).reshape(1)]
+    if stacked:
+        args.append(jnp.asarray(layer, jnp.int32).reshape(1))
+    args.append(q)
+    if quant:
         args += [qs.astype(jnp.float32)]
     args += [k, v]
     if quant:
@@ -255,16 +290,26 @@ def flash_decode_partials(q, k, v, k_len, block: int = 512,
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
                         block: int = 512, interpret: bool = False,
-                        k_scale=None, v_scale=None):
+                        k_scale=None, v_scale=None, layer=None):
     """Fused decode attention: q vs [cache prefix of length k_len] + [new
     tokens]. See module docstring for the layout contract.
 
     q [Hkv, GT, D]; k/v [Hkv, S, D] (S % block == 0); k_new/v_new
     [Hkv, Tn, D]; new_mask [GT, Tn] bool; k_len traced i32. -> [Hkv, GT, D]
     fp32.
+
+    ``layer`` (traced i32, optional): when given, k/v are the WHOLE stacked
+    cache [L, Hkv, S, D] (scales [L, Hkv, S]) and the kernel DMAs blocks of
+    layer ``layer`` straight out of the stack via a second scalar-prefetch
+    coordinate. This is the per-layer zero-copy path: feeding a model's
+    lax.scan a per-layer slab (scan xs or a slice) makes XLA materialise an
+    HBM->HBM copy of the slab for the pallas_call operand — measured +0.7 ms
+    per 0.27 GB layer call, ~2x the whole decode step (probes/_r2_scanxs.py
+    vs probes/_r2_kern_iso.py).
     """
+    stacked = layer is not None
     hkv, gt, d = q.shape
-    s = k.shape[1]
+    s = k.shape[2] if stacked else k.shape[1]
     tn = k_new.shape[1]
     assert s % block == 0, (s, block)
     scale = 1.0 / math.sqrt(d)
@@ -280,32 +325,47 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
         new_mask = jnp.pad(new_mask, [(0, 0), (0, tn_pad - tn)])
         tn = tn_pad
 
-    def kv_index(i, klen_ref):
+    def clamp(i, klen_ref):
         # clamp at the last live block: Pallas elides the refetch of an
         # unchanged block, so dead iterations cost no bandwidth
         last = jnp.maximum(pl.cdiv(klen_ref[0], block) - 1, 0)
-        return (0, jnp.minimum(i, last), 0)
+        return jnp.minimum(i, last)
+
+    if stacked:
+        def kv_index(i, kl, ly):
+            return (ly[0], 0, clamp(i, kl), 0)
+
+        def sc_index(i, kl, ly):
+            return (ly[0], 0, clamp(i, kl))
+        kv_shape = (None, hkv, block, d)   # None squeezes the layer dim
+        sc_shape = (None, hkv, block)
+    else:
+        def kv_index(i, kl):
+            return (0, clamp(i, kl), 0)
+
+        def sc_index(i, kl):
+            return (0, clamp(i, kl))
+        kv_shape = (hkv, block, d)
+        sc_shape = (hkv, block)
 
     quant = k_scale is not None
     kernel = functools.partial(_kernel, block=block, scale=scale,
-                               quant=quant)
+                               quant=quant, stacked=stacked)
     kv_specs = ([pl.BlockSpec((hkv, gt), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)]   # q scales
                 if quant else []) + [
-        pl.BlockSpec((hkv, block, d), kv_index,
-                     memory_space=pltpu.VMEM),                # k block
-        pl.BlockSpec((hkv, block, d), kv_index,
-                     memory_space=pltpu.VMEM),                # v block
+        pl.BlockSpec(kv_shape, kv_index, memory_space=pltpu.VMEM),  # k blk
+        pl.BlockSpec(kv_shape, kv_index, memory_space=pltpu.VMEM),  # v blk
     ]
     if quant:
         kv_specs += [
-            pl.BlockSpec((hkv, block), lambda i, kl: kv_index(i, kl)[:2],
+            pl.BlockSpec(sc_shape, sc_index,
                          memory_space=pltpu.VMEM),            # k scales
-            pl.BlockSpec((hkv, block), lambda i, kl: kv_index(i, kl)[:2],
+            pl.BlockSpec(sc_shape, sc_index,
                          memory_space=pltpu.VMEM),            # v scales
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if stacked else 1,
         grid=(nb_max,),
         in_specs=[
             pl.BlockSpec((hkv, gt, d), lambda i, *_: (0, 0, 0),
@@ -326,8 +386,11 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
         ],
     )
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # pre-scale once
-    args = [jnp.asarray(k_len, jnp.int32).reshape(1), q, k_new, v_new,
-            jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32)]
+    args = [jnp.asarray(k_len, jnp.int32).reshape(1)]
+    if stacked:
+        args.append(jnp.asarray(layer, jnp.int32).reshape(1))
+    args += [q, k_new, v_new,
+             jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32)]
     if quant:
         # quantize q per (head, row): int8 x int8 hits the MXU; the row
         # scale (with 1/sqrt(d) already folded by the pre-scale above)
@@ -336,7 +399,7 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
         qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1) / 127.0, 1e-20)
         q8 = jnp.clip(jnp.round(qf / qs[..., None]), -127, 127
                       ).astype(jnp.int8)
-        args[1] = q8
+        args[2 if stacked else 1] = q8
         args += [qs.astype(jnp.float32)]
     args += [k, v]
     if quant:
@@ -517,17 +580,23 @@ def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int,
 def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
                             new_mask=None, block=None,
                             interpret: bool = False, k_scale=None,
-                            v_scale=None):
+                            v_scale=None, layer=None):
     """Drop-in for ops.attention.append_attention (B=1, no cache mask):
     q [1,Hq,T,D]; k/v [1,Hkv,S,D]; k_new/v_new [1,Hkv,T,D] (always bf16 —
-    the NEW tokens are in registers; only the cache may be int8)."""
+    the NEW tokens are in registers; only the cache may be int8).
+
+    With ``layer`` (traced i32): k/v are the whole stacked cache
+    [L,1,Hkv,S,D] (scales [L,1,Hkv,S]) and the kernel reads layer ``layer``
+    in place — no per-layer slab copy (the zero-copy scan path)."""
     b, hq, t, d = q.shape
-    hkv = k_cache.shape[1]
+    stacked = layer is not None
+    hkv = k_cache.shape[2] if stacked else k_cache.shape[1]
+    s = k_cache.shape[3] if stacked else k_cache.shape[2]
     g = hq // hkv
     assert b == 1
     if block is None:
         tn_pad = -(-t // 128) * 128
-        block = _pick_block(k_cache.shape[2], hkv, d, g * t, tn_pad,
+        block = _pick_block(s, hkv, d, g * t, tn_pad,
                             quant=k_scale is not None)
     if new_mask is None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
@@ -535,9 +604,19 @@ def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
         new_mask = cols <= rows
     nmask = jnp.tile(jnp.asarray(new_mask, bool), (g, 1))   # [G*T, T]
     qh = q[0].reshape(hkv, g * t, d)
-    out = flash_decode_append(
-        qh, k_cache[0], v_cache[0], k_new[0], v_new[0], k_len, nmask,
-        block=block, interpret=interpret,
-        k_scale=None if k_scale is None else k_scale[0],
-        v_scale=None if v_scale is None else v_scale[0])
+    if stacked:
+        L = k_cache.shape[0]
+        out = flash_decode_append(
+            qh, k_cache.reshape(L, hkv, s, d), v_cache.reshape(L, hkv, s, d),
+            k_new[0], v_new[0], k_len, nmask, block=block,
+            interpret=interpret,
+            k_scale=None if k_scale is None else k_scale.reshape(L, hkv, s),
+            v_scale=None if v_scale is None else v_scale.reshape(L, hkv, s),
+            layer=layer)
+    else:
+        out = flash_decode_append(
+            qh, k_cache[0], v_cache[0], k_new[0], v_new[0], k_len, nmask,
+            block=block, interpret=interpret,
+            k_scale=None if k_scale is None else k_scale[0],
+            v_scale=None if v_scale is None else v_scale[0])
     return out.reshape(1, hq, t, d).astype(q.dtype)
