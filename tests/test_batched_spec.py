@@ -121,7 +121,7 @@ def test_decode_fused_equals_stepped(mode):
 
     bat2 = BatchedSpecEngine(eng, mode=mode, donate=False)
     st2 = bat2.prefill_rows(prompts, seeds)
-    _, toks, ns = bat2.decode(st2, steps=3)
+    _, toks, ns, _c = bat2.decode(st2, steps=3)
     np.testing.assert_array_equal(np.asarray(toks), want_toks)
     np.testing.assert_array_equal(np.asarray(ns), want_ns)
 
@@ -133,9 +133,12 @@ def test_batched_forced_acceptance():
     bat = BatchedSpecEngine(eng, mode="retrieval", donate=False,
                             force_accept=1.0)
     st = bat.prefill_rows(_prompts(), [4, 5, 6])
-    _, toks, ns = bat.decode(st, steps=2)
+    _, toks, ns, counters = bat.decode(st, steps=2)
     assert np.asarray(ns).shape == (B, 2)
     assert (np.asarray(ns) == SPEC.gamma + 1).all()
+    counters = np.asarray(counters)
+    # alpha=1: every proposal accepted, per row
+    assert (counters[:, 0] == counters[:, 1]).all() and counters[:, 1].all()
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
@@ -151,11 +154,11 @@ def test_dp_sharded_rows_equal_unsharded(mode):
 
     bat = BatchedSpecEngine(eng, mode=mode, donate=False)
     st = bat.prefill_rows(prompts, seeds)
-    _, want_toks, want_ns = bat.decode(st, steps=3)
+    _, want_toks, want_ns, _c = bat.decode(st, steps=3)
 
     mesh = mesh_mod.make_mesh(dp=4)
     bat_dp = BatchedSpecEngine(eng, mode=mode, donate=False, mesh=mesh)
     st2 = bat_dp.prefill_rows(prompts, seeds)
-    _, toks, ns = bat_dp.decode(st2, steps=3)
+    _, toks, ns, _c = bat_dp.decode(st2, steps=3)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(want_toks))
     np.testing.assert_array_equal(np.asarray(ns), np.asarray(want_ns))

@@ -36,20 +36,25 @@ def _decode_fused(vstep, steps: int, gamma: int, params_args, state):
     """``steps`` vmapped speculation steps inside ONE dispatch
     (lax.fori_loop): per-step host dispatch costs ~60 ms through a remote
     tunnel, so a host-looped decode would measure the harness. Returns
-    (state, tokens [B, steps, gamma+2], n_emitted [B, steps])."""
+    (state, tokens [B, steps, gamma+2], n_emitted [B, steps],
+    counters [B, 2] = per-row (accepted, proposed) for acceptance-rate
+    reporting)."""
     b = state.next_token.shape[0]
     toks0 = jnp.zeros((b, steps, gamma + 2), jnp.int32)
     ns0 = jnp.zeros((b, steps), jnp.int32)
+    counters0 = jnp.zeros((b, 2), jnp.int32)
 
     def body(i, c):
-        state, toks, ns = c
+        state, toks, ns, counters = c
         state, stats = vstep(*params_args, state)
         toks = jax.lax.dynamic_update_slice(
             toks, stats.tokens[:, None, :], (0, i, 0))
         ns = ns.at[:, i].set(stats.n_emitted)
-        return state, toks, ns
+        counters = counters + jnp.stack([stats.accepted, stats.gamma2],
+                                        axis=-1)
+        return state, toks, ns, counters
 
-    return jax.lax.fori_loop(0, steps, body, (state, toks0, ns0))
+    return jax.lax.fori_loop(0, steps, body, (state, toks0, ns0, counters0))
 
 
 def stack_states(states):
@@ -123,7 +128,7 @@ class BatchedSpecEngine:
                 def inner(t_params, state):
                     return _decode_fused(vstep, steps, sp.gamma,
                                          (t_params,), state)
-                return shard_rows(inner, 1, 3)(t_params, state)
+                return shard_rows(inner, 1, 4)(t_params, state)
             self._decode = jax.jit(_decode, static_argnums=(0,),
                                    donate_argnums=(2,) if donate else ())
         elif mode == "triforce":
@@ -139,7 +144,7 @@ class BatchedSpecEngine:
                 def inner(t_params, d_params, state):
                     return _decode_fused(vstep, steps, sp.gamma,
                                          (t_params, d_params), state)
-                return shard_rows(inner, 2, 3)(t_params, d_params, state)
+                return shard_rows(inner, 2, 4)(t_params, d_params, state)
             self._decode = jax.jit(_decode, static_argnums=(0,),
                                    donate_argnums=(3,) if donate else ())
         else:
@@ -176,7 +181,8 @@ class BatchedSpecEngine:
 
     def decode(self, state: TriForceState, steps: int):
         """Run ``steps`` fused steps in ONE dispatch; returns (state,
-        tokens [B, steps, gamma+2], n_emitted [B, steps])."""
+        tokens [B, steps, gamma+2], n_emitted [B, steps],
+        counters [B, 2] = (accepted, proposed) per row)."""
         if self.mode == "retrieval":
             return self._decode(steps, self.engine.t_params, state)
         return self._decode(steps, self.engine.t_params,

@@ -258,17 +258,25 @@ def _run_batched(engine, args, prompts):
                                             args.prefill))
             for i in range(b)]
     state = bat.prefill_rows(rows, [args.seed + i for i in range(b)])
-    _ = int(np.asarray(state.next_token)[0])   # prefill completes BEFORE t0
+    # prefill completes BEFORE t0 (readback of one scalar forces it)
+    _ = int(np.asarray(state.next_token).reshape(-1)[0])
     # fixed step count sized for ~gen_len tokens/row at >=1 token/step
     steps = args.gen_len
     t0 = time.perf_counter()
-    state, toks, ns = bat.decode(state, steps)
+    state, toks, ns, counters = bat.decode(state, steps)
     ns = np.asarray(ns)
     wall = time.perf_counter() - t0
     total = int(ns.sum())
+    counters = np.asarray(counters)
+    # row 0's actual emitted stream: per step, the first n_emitted slots of
+    # the (junk-padded) gamma+2 token buffer
+    toks0 = np.asarray(toks)[0]
+    row0 = [int(t) for s in range(steps) for t in toks0[s, :ns[0, s]]]
     return DecodeResult(
-        tokens=[int(t) for t in np.asarray(toks)[0].reshape(-1)[:16]],
+        tokens=row0,
         tokens_per_sec=total / wall,
+        acceptance_rate=float(counters[:, 0].sum()) /
+        max(int(counters[:, 1].sum()), 1),
         avg_tokens_per_step=total / (b * steps),
         steps=steps, wall_s=wall)
 

@@ -4,10 +4,11 @@ selection -> per-KV-head gather into the budget region.
 TPU-native re-design of the reference's eager build
 (``/root/reference/models/cache.py:146-178``): one fused jittable function per
 layer, called from inside the target forward on the last prefill token (the
-reference hooks the same place: models/modeling_llama.py:232-238). A Pallas
-fused kernel for the 128K case lives in ``ops/flash_decode.py`` territory
-(round >=2); XLA already turns this into mean -> matmul -> top-k -> gather
-with no host round-trips.
+reference hooks the same place: models/modeling_llama.py:232-238). A fused
+Pallas score kernel exists (``ops/retrieval_kernel.py``) but measured a wash
+vs this XLA path in context (5.45 vs 5.33 ms/layer, NOTES_ROUND2.md), so the
+XLA path is the default; the build's real cost was the chunk gather, fixed
+here by the flat 2-D row-gather in ``gather_chunks`` (178 -> 4 ms/layer).
 """
 
 from __future__ import annotations
