@@ -195,3 +195,92 @@ def test_accepted_eos_keeps_next_token_uncommitted():
     for toks_i, acc_i, n_i, _, _, _, seq_i, _ in recs:
         total_emitted += n_i
         assert seq_i == PREFILL + total_emitted, (seq_i, total_emitted)
+
+
+# ---------------------------------------------------------------------------
+# middle_chain > 1: chain drafting (k drafter tokens per middle verify)
+# ---------------------------------------------------------------------------
+
+CHAIN_SPEC = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
+                        draft_recent_size=12, temperature=0.8, top_p=0.9,
+                        middle_chain=3)
+
+
+@pytest.fixture(scope="module")
+def chain_setup():
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    d_params = llama.init_params(jax.random.PRNGKey(1), DCFG,
+                                 dtype=jnp.float32)
+    engine = Engine(TCFG, CHAIN_SPEC, t_params, draft_cfg=DCFG,
+                    draft_params=d_params, prefill=PREFILL,
+                    max_cache_len=PREFILL + 64, dtype=jnp.float32,
+                    prefill_chunk=16, draft_prefill_chunk=8, donate=False)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, PREFILL), 0,
+                             TCFG.vocab_size)
+    return engine, ids, t_params
+
+
+def test_chain_step_invariants(chain_setup):
+    """Chain drafting keeps every per-step contract of the reference
+    schedule: gamma2 in {gamma, gamma+1}, rollback arithmetic, emitted
+    accounting."""
+    engine, ids, _ = chain_setup
+    state = engine.init_state(jax.random.PRNGKey(300))
+    state = engine.prefill_target(state, ids)
+    state = engine.prefill_draft(state, ids)
+    for _ in range(5):
+        old = int(state.kv.seq_len)
+        state, stats = engine.triforce_step(state)
+        assert int(stats.gamma2) in (CHAIN_SPEC.gamma, CHAIN_SPEC.gamma + 1)
+        assert int(state.kv.seq_len) == old + int(stats.accepted) + 1
+        assert int(stats.n_emitted) == (int(stats.accepted) +
+                                        int(stats.resampled) +
+                                        int(stats.bonus))
+        assert int(stats.mid_draft) >= int(stats.mid_accept) >= 0
+        toks = np.asarray(stats.tokens)
+        n = int(stats.n_emitted)
+        assert (toks[:n] != JUNK_TOKEN).all() or n == 0
+
+
+def test_chain_forced_alpha1_fills_every_slot(chain_setup):
+    """At coin alpha=1.0 a chain round accepts all k proposals + bonus, so
+    the middle loop finishes in ceil(gamma/(k+1)) verifies and every outer
+    step emits gamma+2 tokens."""
+    engine, ids, _ = chain_setup
+    state = engine.init_state(jax.random.PRNGKey(301))
+    state = engine.prefill_target(state, ids)
+    state = engine.prefill_draft(state, ids)
+    state, buf, n, counters, _ = jax.tree.map(
+        lambda x: x, engine.generate_forced(state, 20, 1.0, mode="triforce"))
+    steps = int(counters[0])
+    assert int(n) - 1 == steps * (CHAIN_SPEC.gamma + 2)
+    # one fully-accepted chain of k=gamma + bonus covers the whole round
+    assert int(counters[5]) == steps * CHAIN_SPEC.gamma   # mid_draft
+    assert int(counters[6]) == steps * CHAIN_SPEC.gamma   # mid_accept
+
+
+def test_chain_lossless_first_token_marginal(chain_setup):
+    """The losslessness oracle must hold for ANY middle-level proposal
+    schedule — chain drafting changes the proposal distribution, not the
+    outer exact rejection test."""
+    engine, ids, t_params = chain_setup
+    state = engine.init_state(jax.random.PRNGKey(100))
+    state = engine.prefill_target(state, ids)
+    state = engine.prefill_draft(state, ids)
+
+    logits, _, _ = llama.forward_append(
+        TCFG, t_params, state.next_token[None].astype(jnp.int32), state.kv)
+    p_true = np.asarray(sampling.norm_logits(
+        logits[0, -1][None], CHAIN_SPEC.temperature, CHAIN_SPEC.top_k,
+        CHAIN_SPEC.top_p)[0])
+
+    n_runs = 1500
+    emp = _first_token_distribution(engine, state, engine.triforce_step,
+                                    n_runs, 50_000)
+    tv = 0.5 * np.abs(emp - p_true).sum()
+    null_tv = 0.5 * np.sqrt(
+        2 * p_true * (1 - p_true) / (np.pi * n_runs)).sum()
+    assert tv < 1.5 * null_tv, (
+        f"TV {tv:.4f} vs null {null_tv:.4f} — chain drafting biased")
+    assert (emp[p_true == 0] == 0).all()

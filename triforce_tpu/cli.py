@@ -33,6 +33,14 @@ def parse_args(argv=None):
     p.add_argument("--gen_len", "--gen-len", type=int, default=256,
                    dest="gen_len")
     p.add_argument("--gamma", type=int, default=6)
+    p.add_argument("--middle_chain", "--middle-chain", type=int, default=1,
+                   dest="middle_chain",
+                   help="drafter tokens per middle verify (triforce mode): "
+                        "1 = reference schedule (one draft per verify, "
+                        "decoding.py:163-223); 0 = auto (gamma); k>1 "
+                        "verifies a k-token drafter chain with ONE "
+                        "weight-stream-bound middle forward — lossless "
+                        "either way (outer rejection test unchanged)")
     p.add_argument("--budget", type=int, default=4096)
     p.add_argument("--chunk_size", "--chunk-size", type=int, default=8,
                    dest="chunk_size")
@@ -142,7 +150,8 @@ def main(argv=None):
                       draft_start_size=args.start_size,
                       draft_recent_size=recent,
                       temperature=args.temp, top_p=args.top_p,
-                      max_len=args.gen_len)
+                      max_len=args.gen_len,
+                      middle_chain=args.middle_chain)
 
     if args.mode in ("triforce", "retrieval") and \
             args.gen_len + args.gamma + 2 > args.budget:

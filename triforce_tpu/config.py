@@ -68,6 +68,14 @@ class SpecConfig:
     gamma: int = 6                # drafter lookahead per middle round
     budget: int = 4096            # retrieval cache budget (selected tokens)
     chunk_size: int = 8           # retrieval chunk granularity
+    # drafter tokens verified per middle forward (engine._middle_spec).
+    # 1 = the reference schedule (one drafter step per middle verify,
+    # decoding.py:163-223). k>1 drafts k tokens autoregressively and walks
+    # the chain after ONE middle verify: the middle verify streams the whole
+    # target weight set (it IS the target over the retrieval cache) while a
+    # drafter forward is ~10x cheaper, so fewer verifies per step is the
+    # dominant decode-latency lever at int8 weights (NOTES_ROUND3.md).
+    middle_chain: int = 1
     draft_start_size: int = 16    # StreamingLLM sink
     draft_recent_size: int = 250  # StreamingLLM window
     temperature: float = 0.6

@@ -445,113 +445,142 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
                  mesh, t_params, d_params, state: TriForceState,
                  force_accept=None):
     """Drafter <-> middle speculation loop (reference Middle_Spec,
-    decoding.py:163-223) as a ``lax.while_loop``.
+    decoding.py:163-223) as a ``lax.while_loop``, generalized to drafter
+    CHAINS of ``sp.middle_chain`` tokens per middle verify.
 
-    Per iteration: one drafter forward over the FIXED-width gamma+1 token
-    buffer (slots beyond the live prefix are causally inert junk — this one
-    program replaces the reference's gamma+3 per-offset CUDA graphs), sample
-    a proposal, one middle verify over the retrieval cache, then
-    accept(+bonus)/resample. The middle level intentionally keeps the
-    middle-model probabilities for BOTH outcomes (no residual resampling):
-    losslessness is enforced only at the outer level (SURVEY.md §2.3).
+    The reference drafts ONE token per middle verify. A middle verify
+    streams the ENTIRE target weight set (the middle model IS the target's
+    weights over the retrieval cache) while a drafter forward is ~10x
+    cheaper, so the round's cost is ~(#middle verifies) x (weight stream).
+    With ``middle_chain = k``: k cheap drafter forwards propose a chain
+    autoregressively, ONE middle verify scores every chain position, and
+    the accept walk applies the reference's per-proposal test in order —
+    accept keeps the token; the first reject samples from that position's
+    middle distribution and stops (decoding.py:212); a fully accepted chain
+    earns a bonus token from the next middle row (decoding.py:201-209).
+    k=1 reproduces the reference schedule exactly. Losslessness is
+    unaffected: the outer target rejection test consumes gen_probs = the
+    true middle conditionals of whatever tokens this level emits — the
+    middle level is a proposal distribution, enforced only at the outer
+    level (SURVEY.md §2.3).
+
+    All forwards are FIXED-width gamma+1 (slots beyond the live prefix are
+    causally inert junk — one program replaces the reference's gamma+3
+    per-offset CUDA graphs); caches stay loop CLOSURES, never carries, so
+    XLA does not double-buffer them per iteration.
     """
     gamma = sp.gamma
+    k = max(1, min(sp.middle_chain if sp.middle_chain > 0 else gamma, gamma))
     vocab = t_cfg.vocab_size
     kv_seq_len = state.kv.seq_len
 
-    verify_tokens0 = jnp.full((1, gamma + 1), JUNK_TOKEN, jnp.int32)
-    verify_tokens0 = verify_tokens0.at[0, 0].set(state.next_token[0])
     gen_tokens0 = jnp.full((gamma + 1,), JUNK_TOKEN, jnp.int32)
     gen_probs0 = jnp.zeros((gamma + 1, vocab), jnp.float32)
+    first_tok = state.next_token[0].astype(jnp.int32)
+
+    def vt_of(gen_tokens):
+        # drafter/middle input row: [next_token, gen_tokens[:gamma]]
+        # (input slot i+1 always holds generated token i)
+        return jnp.concatenate([first_tok[None], gen_tokens[:gamma]])[None]
 
     def cond(c):
         return c["n"] < gamma
 
     def body(c):
-        n = c["n"]
-        key, kd, kr, ka = jax.random.split(c["key"], 4)
+        n0 = c["n"]
+        key, kd, ka = jax.random.split(c["key"], 3)
+        kds = jax.random.split(kd, k)       # per-proposal drafter samples
+        kas = jax.random.split(ka, k + 1)   # per-proposal tests + bonus
 
-        # drafter step at gamma offset n (fixed-width input; commit-free —
-        # the caches stay loop CLOSURES, never loop carries, so XLA does
-        # not double-buffer them per iteration)
-        d_logits, _ = llama.draft_forward_spec(
-            d_cfg, d_params, c["verify_tokens"], state.dkv, sp,
-            commit=False)
-        q_n = sampling.norm_logits(d_logits[0, n][None], sp.temperature,
-                                   -1, sp.top_p)[0]  # graph_infer.py:57
-        tok = sampling.sample(kd, q_n)
-        verify_tokens = jax.lax.dynamic_update_slice(
-            c["verify_tokens"], tok[None, None].astype(jnp.int32),
-            (jnp.int32(0), n + 1))
+        # --- chain drafting: up to k drafter forwards (early exit past the
+        # gamma-1 proposal cap, so a tail round does not pay full-k drafts)
+        def d_cond(dc):
+            i = dc[0]
+            return (i < k) & (n0 + i <= gamma - 1)
 
-        # middle verify over the retrieval cache (read-only); only rows n
-        # and n+1 of the distribution are ever used (accept test + bonus /
-        # reject sample) — filter just those two
-        m_logits, _ = llama.forward_spec(t_cfg, t_params, verify_tokens,
-                                         state.rkv, kv_seq_len, sp.budget,
+        def d_body(dc):
+            i, vt, toks, qsel = dc
+            d_logits, _ = llama.draft_forward_spec(
+                d_cfg, d_params, vt, state.dkv, sp, commit=False)
+            row = jax.lax.dynamic_slice(
+                d_logits[0], (n0 + i, jnp.int32(0)), (1, vocab))
+            q = sampling.norm_logits(row, sp.temperature, -1,
+                                     sp.top_p)[0]    # graph_infer.py:57
+            tok = sampling.sample(kds[i], q).astype(jnp.int32)
+            toks = jax.lax.dynamic_update_slice(toks, tok[None], (i,))
+            qsel = jax.lax.dynamic_update_slice(qsel, q[tok][None], (i,))
+            vt = jax.lax.dynamic_update_slice(
+                vt, tok[None, None], (jnp.int32(0), n0 + i + 1))
+            return i + 1, vt, toks, qsel
+
+        i_fin, vt, chain_toks, chain_q = jax.lax.while_loop(
+            d_cond, d_body,
+            (jnp.int32(0), vt_of(c["gen_tokens"]),
+             jnp.full((k,), JUNK_TOKEN, jnp.int32),
+             jnp.zeros((k,), jnp.float32)))
+
+        # --- ONE middle verify over the whole chain (read-only rkv) -------
+        m_logits, _ = llama.forward_spec(t_cfg, t_params, vt, state.rkv,
+                                         kv_seq_len, sp.budget,
                                          commit=False, mesh=mesh)
-        two = jax.lax.dynamic_slice(
-            m_logits[0], (n, jnp.int32(0)), (2, vocab))
-        p2 = sampling.norm_logits(two, sp.temperature, -1, sp.top_p)
+        rows_idx = jnp.clip(n0 + jnp.arange(k + 1), 0, gamma)
+        rows = jnp.take(m_logits[0], rows_idx, axis=0)       # [k+1, V]
+        p_rows = sampling.norm_logits(rows, sp.temperature, -1, sp.top_p)
 
-        r = jax.random.uniform(kr)
-        if force_accept is None:
-            ratio = p2[0, tok] / jnp.maximum(q_n[tok], 1e-37)
-            accept = r < jnp.minimum(1.0, ratio)
-        else:
-            # controlled-acceptance validation: coin-flip accept at a FIXED
-            # rate while running every real forward — random weights cannot
-            # express trained-model acceptance (NOTES_ROUND1.md), so this
-            # measures true end-to-end throughput at a chosen alpha
-            accept = r < force_accept
+        # --- accept walk over the chain ------------------------------------
+        def w_body(j, wc):
+            n, alive, gen_tokens, gen_probs, acc, tested = wc
+            consumed = alive & (j < i_fin)
+            tok = chain_toks[j]
+            kr, ks = jax.random.split(kas[j])
+            r = jax.random.uniform(kr)
+            if force_accept is None:
+                ratio = p_rows[j, tok] / jnp.maximum(chain_q[j], 1e-37)
+                ok = r < jnp.minimum(1.0, ratio)
+            else:
+                # controlled-acceptance validation: coin-flip accept at a
+                # FIXED rate while running every real forward (bench
+                # methodology — random weights cannot express trained-model
+                # acceptance, NOTES_ROUND1.md)
+                ok = r < force_accept
+            # reject: sample directly from this position's middle
+            # distribution — no residual at the middle level (SURVEY §2.3)
+            res = sampling.sample(ks, p_rows[j]).astype(jnp.int32)
+            newtok = jnp.where(ok, tok, res)
+            upd_t = jax.lax.dynamic_update_slice(gen_tokens, newtok[None],
+                                                 (n,))
+            upd_p = jax.lax.dynamic_update_slice(
+                gen_probs, p_rows[j][None], (n, jnp.int32(0)))
+            gen_tokens = jnp.where(consumed, upd_t, gen_tokens)
+            gen_probs = jnp.where(consumed, upd_p, gen_probs)
+            n = n + consumed.astype(jnp.int32)
+            acc = acc + (consumed & ok).astype(jnp.int32)
+            tested = tested + consumed.astype(jnp.int32)
+            alive = alive & (~consumed | ok)
+            return n, alive, gen_tokens, gen_probs, acc, tested
 
-        def on_accept(args):
-            verify_tokens, gen_tokens, gen_probs, n, key = args
-            gen_tokens = gen_tokens.at[n].set(tok.astype(jnp.int32))
-            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p2[0][None],
-                                                     (n, jnp.int32(0)))
-            n1 = n + 1
-            # bonus token from the next middle row (decoding.py:201-209)
-            tok2 = sampling.sample(ka, p2[1])
-            gen_tokens = gen_tokens.at[n1].set(tok2.astype(jnp.int32))
-            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p2[1][None],
-                                                     (n1, jnp.int32(0)))
-            n2 = n1 + 1
-            # guarded write (torch no-ops when n2 == gamma+1, SURVEY §7.3)
-            verify_tokens = jax.lax.cond(
-                n2 <= gamma,
-                lambda vt: jax.lax.dynamic_update_slice(
-                    vt, tok2[None, None].astype(jnp.int32),
-                    (jnp.int32(0), n2)),
-                lambda vt: vt, verify_tokens)
-            return verify_tokens, gen_tokens, gen_probs, n2, jnp.int32(1)
+        n, alive, gen_tokens, gen_probs, acc, tested = jax.lax.fori_loop(
+            0, k, w_body,
+            (n0, jnp.bool_(True), c["gen_tokens"], c["gen_probs"],
+             c["mid_accept"], c["mid_draft"]))
 
-        def on_reject(args):
-            verify_tokens, gen_tokens, gen_probs, n, key = args
-            # sample directly from the middle distribution (decoding.py:212)
-            tok2 = sampling.sample(ka, p2[0])
-            gen_tokens = gen_tokens.at[n].set(tok2.astype(jnp.int32))
-            gen_probs = jax.lax.dynamic_update_slice(gen_probs, p2[0][None],
-                                                     (n, jnp.int32(0)))
-            n1 = n + 1
-            verify_tokens = jax.lax.dynamic_update_slice(
-                verify_tokens, tok2[None, None].astype(jnp.int32),
-                (jnp.int32(0), n1))
-            return verify_tokens, gen_tokens, gen_probs, n1, jnp.int32(0)
+        # --- bonus on a fully accepted chain (decoding.py:201-209): sample
+        # from the middle row AFTER the last accepted token (= row n - n0)
+        bonus_ok = alive & (n <= gamma)
+        b_row = jnp.take(p_rows, jnp.clip(n - n0, 0, k), axis=0)
+        b_tok = sampling.sample(kas[k], b_row).astype(jnp.int32)
+        upd_t = jax.lax.dynamic_update_slice(gen_tokens, b_tok[None], (n,))
+        upd_p = jax.lax.dynamic_update_slice(gen_probs, b_row[None],
+                                             (n, jnp.int32(0)))
+        gen_tokens = jnp.where(bonus_ok, upd_t, gen_tokens)
+        gen_probs = jnp.where(bonus_ok, upd_p, gen_probs)
+        n = n + bonus_ok.astype(jnp.int32)
 
-        verify_tokens, gen_tokens, gen_probs, n, acc = jax.lax.cond(
-            accept, on_accept, on_reject,
-            (verify_tokens, c["gen_tokens"], c["gen_probs"], n, key))
+        return {"n": n, "gen_tokens": gen_tokens, "gen_probs": gen_probs,
+                "key": key, "mid_draft": tested, "mid_accept": acc}
 
-        return {"n": n, "verify_tokens": verify_tokens,
-                "gen_tokens": gen_tokens, "gen_probs": gen_probs,
-                "key": key,
-                "mid_draft": c["mid_draft"] + 1,
-                "mid_accept": c["mid_accept"] + acc}
-
-    init = {"n": jnp.int32(0), "verify_tokens": verify_tokens0,
-            "gen_tokens": gen_tokens0, "gen_probs": gen_probs0,
-            "key": state.key,
+    init = {"n": jnp.int32(0), "gen_tokens": gen_tokens0,
+            "gen_probs": gen_probs0, "key": state.key,
             "mid_draft": jnp.int32(0), "mid_accept": jnp.int32(0)}
     out = jax.lax.while_loop(cond, body, init)
     return out
