@@ -259,3 +259,30 @@ def test_tree_engine_weight_quant_runs():
     toks = np.asarray(buf)[:n]
     assert ((0 <= toks) & (toks < TCFG.vocab_size)).all()
     assert int(counters[0]) >= 1
+
+
+def test_tree_forced_acceptance(tree_engine):
+    """TreeEngine.generate_forced: per-child coin at rate alpha, all real
+    compute runs. At alpha=1.0 every node accepts its FIRST child, so each
+    step commits a full root-to-leaf path (max depth + 1 nodes) and emits
+    depth + 1 tokens (path + residual/bonus sample)."""
+    engine, ids = tree_engine
+    max_path = int(engine.gm.depth.max()) + 1
+
+    state = engine.init_state(jax.random.PRNGKey(21))
+    state = engine.prefill_target(state, ids)
+    state, buf, n, counters, _ = engine.generate_forced(state, 12, 1.0)
+    steps, nodes = int(counters[0]), int(counters[1])
+    assert steps >= 1
+    assert nodes == steps * max_path          # every walk reaches a leaf
+    assert int(n) - 1 == steps * max_path     # path-1 tokens + final sample
+    toks = np.asarray(buf)[1:int(n)]
+    assert ((0 <= toks) & (toks < TCFG.vocab_size)).all()
+
+    # alpha sweep shares ONE compiled program (alpha traced): a different
+    # alpha must not retrace (object identity of the cached jit is enough
+    # to exercise it; correctness: lower alpha accepts fewer nodes)
+    state2 = engine.init_state(jax.random.PRNGKey(22))
+    state2 = engine.prefill_target(state2, ids)
+    _, _, n2, c2, _ = engine.generate_forced(state2, 12, 0.05)
+    assert int(c2[1]) / max(int(c2[0]), 1) < max_path  # rarely a full path

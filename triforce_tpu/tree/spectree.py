@@ -166,9 +166,49 @@ class TreeEngine:
 
         self._gen = jax.jit(_gen, static_argnums=(0,), donate_argnums=_dn(2))
 
+        def _gen_forced(max_len, alpha, params, state):
+            """Forced-acceptance generation (one dispatch; alpha TRACED so
+            every alpha shares one compiled program)."""
+            buf = jnp.full((max_len + max_path + 1,), JUNK_TOKEN, jnp.int32)
+            buf = buf.at[0].set(state.next_token[0])
+
+            def cond(c):
+                state, buf, n, counters, stop = c
+                return (n < max_len + 1) & ~stop
+
+            def body(c):
+                state, buf, n, counters, stop = c
+                state, stats = _tree_step(cfg, grow_map, budget, prefill,
+                                          temperature, top_p,
+                                          tuple(eos_ids), ssl, mesh,
+                                          shard_seq, params, state,
+                                          force_accept=alpha)
+                buf = jax.lax.dynamic_update_slice(buf, stats.tokens, (n,))
+                n = n + stats.n_emitted
+                counters = counters + jnp.stack(
+                    [jnp.int32(1), stats.n_nodes])
+                # forced runs never stop on the synthetic terminal flag:
+                # the coin walk can zero the residual by chance, which
+                # would end the throughput measurement early
+                return state, buf, n, counters, jnp.bool_(False)
+
+            return jax.lax.while_loop(
+                cond, body, (state, buf, jnp.int32(1),
+                             jnp.zeros((2,), jnp.int32), jnp.bool_(False)))
+
+        self._gen_forced = jax.jit(_gen_forced, static_argnums=(0,),
+                                   donate_argnums=_dn(3))
+
     def generate(self, state: TreeState, max_len: int):
         """Returns (state, token_buf, n, counters=[steps, nodes], stop)."""
         return self._gen(max_len, self.params, state)
+
+    def generate_forced(self, state: TreeState, max_len: int, alpha: float):
+        """Controlled-acceptance tree generation (see _tree_step): every
+        per-child accept test is a coin at rate ``alpha``; all real compute
+        runs. Returns the same tuple as :meth:`generate`."""
+        return self._gen_forced(max_len, jnp.float32(alpha), self.params,
+                                state)
 
     def init_state(self, key: jax.Array) -> TreeState:
         kv = init_kv(self.cfg, self.max_cache_len, dtype=self.dtype,
@@ -283,9 +323,17 @@ def _grow(cfg: ModelConfig, gm: GrowMap, budget: int, temp: float,
 
 def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
                temp: float, top_p: float, eos_ids, ssl, mesh, shard_seq,
-               params, state: TreeState):
+               params, state: TreeState, force_accept=None):
     """One full tree round: grow -> verify -> accept walk -> commit.
     reference: SpecTree.construct_grow_map + verify (SpecTree_TP.py:103-236).
+
+    ``force_accept`` (traced scalar or None): controlled-acceptance
+    validation — every per-child accept test in the walk becomes a coin
+    flip at that rate while ALL real compute runs (grow levels, full-cache
+    tree verify, residual updates, path compaction, tail refresh). Same
+    methodology as ``Engine.generate_forced``: random weights cannot
+    express trained-model acceptance, so this measures end-to-end tree
+    throughput at a chosen per-test rate. Output is NOT lossless.
     """
     verify_tokens, draft_logits, rkv, kv_grown, key = _grow(
         cfg, gm, budget, temp, ssl, mesh, shard_seq, params, state)
@@ -315,7 +363,10 @@ def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
             q = jax.nn.softmax(dl / temp)
             key, kr = jax.random.split(key)
             r = jax.random.uniform(kr)
-            ok = live & (p[tok] > r * q[tok])
+            if force_accept is None:
+                ok = live & (p[tok] > r * q[tok])
+            else:
+                ok = live & (r < force_accept)
             rej = live & ~ok
             chosen = jnp.where(ok, child, chosen)
             p = jnp.where(rej, sampling.max_fn(p - q), p)
