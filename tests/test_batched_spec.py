@@ -162,3 +162,42 @@ def test_dp_sharded_rows_equal_unsharded(mode):
     _, toks, ns, _c = bat_dp.decode(st2, steps=3)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(want_toks))
     np.testing.assert_array_equal(np.asarray(ns), np.asarray(want_ns))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("mode", ["retrieval", "triforce"])
+def test_dpxtp_composed_rows_equal_unsharded(mode):
+    """The production mesh shape (VERDICT r2 weak#7): rows over dp, heads
+    over tp, KV sequence over sp, ALL in one program — the engine carries a
+    (dp=2, tp=2, sp=2) mesh and BatchedSpecEngine binds the row axis to dp
+    via vmap(spmd_axis_name). Emitted tokens must equal the fully
+    unsharded batched run."""
+    from triforce_tpu.parallel import mesh as mesh_mod
+    eng = _mk_engine(mode)
+    prompts = _prompts() + [_prompts()[0]]          # B=4
+    seeds = [11, 22, 33, 44]
+
+    bat = BatchedSpecEngine(eng, mode=mode, donate=False)
+    st = bat.prefill_rows(prompts, seeds)
+    _, want_toks, want_ns, want_c = bat.decode(st, steps=3)
+
+    mesh = mesh_mod.make_mesh(dp=2, tp=2, sp=2)
+    tcfg, dcfg = C.TINY_TARGET, C.TINY_DRAFT
+    t_params = llama.init_params(jax.random.PRNGKey(0), tcfg,
+                                 dtype=jnp.float32)
+    kw = {}
+    if mode == "triforce":
+        kw = dict(draft_cfg=dcfg,
+                  draft_params=llama.init_params(jax.random.PRNGKey(1),
+                                                 dcfg, dtype=jnp.float32))
+    eng_m = Engine(tcfg, SPEC, t_params, prefill=PREFILL,
+                   max_cache_len=PREFILL + 32, dtype=jnp.float32,
+                   prefill_chunk=16, draft_prefill_chunk=8, donate=False,
+                   mesh=mesh, shard_seq=True, **kw)
+    bat_m = BatchedSpecEngine(eng_m, mode=mode, donate=False)
+    assert bat_m._composed and bat_m._dp == 2
+    st2 = bat_m.prefill_rows(prompts, seeds)
+    _, toks, ns, c = bat_m.decode(st2, steps=3)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(want_toks))
+    np.testing.assert_array_equal(np.asarray(ns), np.asarray(want_ns))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(want_c))

@@ -145,3 +145,47 @@ def test_sharded_generate_retrieval_runs():
     assert int(n) >= 8
     toks = np.asarray(buf)[:int(n)]
     assert ((0 <= toks) & (toks < TP8_CFG.vocab_size)).all()
+
+
+def test_sharded_forward_uses_stacked_zero_copy_path(monkeypatch):
+    """The mesh'd target forward must hand the WHOLE stacked cache + a
+    layer index to the sharded attention wrapper (zero-copy addressing on
+    the kernel path) — NOT per-layer slab scan-xs, whose sliced operands
+    XLA materialises as an HBM->HBM copy per layer (probes/_r2_scanxs.py,
+    VERDICT r2 weak#5)."""
+    from triforce_tpu.ops import sp_attention
+
+    calls = []
+    real = sp_attention.append_attention_sharded
+
+    def spy(mesh, q, k_cache, v_cache, k_new, v_new, **kw):
+        calls.append((k_cache.ndim, kw.get("layer") is not None))
+        return real(mesh, q, k_cache, v_cache, k_new, v_new, **kw)
+
+    monkeypatch.setattr("triforce_tpu.models.llama.append_attention_sharded",
+                        spy)
+    mesh = mesh_mod.make_mesh(tp=2, sp=4)
+    params = llama.init_params(jax.random.PRNGKey(0), TP8_CFG,
+                               dtype=jnp.float32)
+    params = shard_mod.shard_params(params, mesh, TP8_CFG)
+    kv = init_kv(TP8_CFG, 64, dtype=jnp.float32)
+    kv = jax.device_put(kv, shard_mod.state_shardings(
+        mesh, TP8_CFG, None, shard_seq=True).kv)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0,
+                             TP8_CFG.vocab_size)
+    logits, kv, _ = llama.forward_append(TP8_CFG, params, ids, kv,
+                                         mesh=mesh, shard_seq=True)
+    assert calls, "sharded forward never reached the attention wrapper"
+    assert all(ndim == 5 and has_layer for ndim, has_layer in calls), calls
+
+    # the retrieval (middle) forward too
+    from triforce_tpu.cache import init_retrieval
+    calls.clear()
+    spec = SpecConfig(gamma=2, budget=16, chunk_size=4)
+    rkv = init_retrieval(TP8_CFG, spec, dtype=jnp.float32)
+    rkv = jax.device_put(rkv, shard_mod.state_shardings(
+        mesh, TP8_CFG, None, shard_seq=True).rkv)
+    tok = jnp.zeros((1, spec.gamma + 1), jnp.int32)
+    llama.forward_spec(TP8_CFG, params, tok, rkv, kv.seq_len, spec.budget,
+                       commit=False, mesh=mesh)
+    assert calls and all(n == 5 and h for n, h in calls), calls

@@ -247,13 +247,15 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     assert not (quant and cfg.rope_on_slots), \
         "un-rotated-key (drafter) caches are not quantized"
     # Zero-copy layer addressing: scan over a layer INDEX and let the
-    # attention op read the stacked cache in place. Scanning the cache as
-    # xs hands the kernel a sliced slab operand, which XLA materialises as
-    # an HBM->HBM copy — measured at ~2x the kernel's own cost per layer at
-    # 64K (probes/_r2_scanxs.py). rope_on_slots (drafter) still needs the
-    # materialised slab (whole-window re-rotation); sharded forwards keep
-    # slab xs until append_attention_sharded grows a stacked path.
-    stacked = (not cfg.rope_on_slots) and mesh is None
+    # attention op read the stacked cache in place — meshless via
+    # append_attention_auto, sharded via append_attention_sharded's stacked
+    # path (the layer index rides into shard_map; the Pallas kernel DMAs
+    # blocks of that layer from the local shard). Scanning the cache as xs
+    # instead hands the kernel a sliced slab operand, which XLA materialises
+    # as an HBM->HBM copy — measured at ~2x the kernel's own cost per layer
+    # at 64K (probes/_r2_scanxs.py). rope_on_slots (drafter) still needs the
+    # materialised slab (whole-window re-rotation).
+    stacked = not cfg.rope_on_slots
 
     def body(x, xs):
         if stacked:
@@ -274,11 +276,19 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         if mesh is not None:
             # sharded cache (tp heads, sp sequence): the Pallas kernel runs
             # on the LOCAL shard inside shard_map; partials psum-merge over
-            # ICI (the reference's whole offloading tier, SURVEY.md §5.7)
-            ctx = append_attention_sharded(
-                mesh, q, k_cache, v_all, k_att, v_new, k_len=seq_len0,
-                new_mask=new_mask, k_scale=ks_all, v_scale=vs_all,
-                shard_seq=shard_seq)
+            # ICI (the reference's whole offloading tier, SURVEY.md §5.7).
+            # stacked: the whole [L,...] cache + layer index go in, so the
+            # sharded path keeps the meshless zero-copy addressing
+            if stacked:
+                ctx = append_attention_sharded(
+                    mesh, q, kv.k, kv.v, k_att, v_new, k_len=seq_len0,
+                    new_mask=new_mask, k_scale=kv.k_scale,
+                    v_scale=kv.v_scale, shard_seq=shard_seq, layer=li)
+            else:
+                ctx = append_attention_sharded(
+                    mesh, q, k_cache, v_all, k_att, v_new, k_len=seq_len0,
+                    new_mask=new_mask, k_scale=ks_all, v_scale=vs_all,
+                    shard_seq=shard_seq)
         elif stacked:
             ctx = append_attention_auto(q, kv.k, kv.v, k_att, v_new,
                                         k_len=seq_len0, new_mask=new_mask,
@@ -357,14 +367,10 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     k_len = jnp.asarray(budget, jnp.int32)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
-    quant = rkv.quantized
-    stacked = mesh is None  # zero-copy layer addressing (see forward_append)
 
+    # zero-copy layer addressing, meshless AND sharded (see forward_append)
     def body(x, xs):
-        if stacked:
-            lp, li = xs
-        else:
-            lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, quant)
+        lp, li = xs
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = _qkv(h, lp, cfg)
         q = rope.apply_rope(q, cos, sin, positions)
@@ -373,8 +379,9 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
             # retrieval cache: heads over tp, sequence replicated — same
             # wrapper, no cross-shard collective (shard_seq=False)
             ctx = append_attention_sharded(
-                mesh, q, k_all, v_all, k_new, v_new, k_len=k_len,
-                k_scale=ks_all, v_scale=vs_all, shard_seq=False)
+                mesh, q, rkv.k, rkv.v, k_new, v_new, k_len=k_len,
+                k_scale=rkv.k_scale, v_scale=rkv.v_scale, shard_seq=False,
+                layer=li)
         else:
             ctx = append_attention_auto(q, rkv.k, rkv.v, k_new, v_new,
                                         k_len=k_len, k_scale=rkv.k_scale,
@@ -384,10 +391,7 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         x = x + _mlp(h, lp)
         return x, (k_new, v_new)
 
-    if stacked:
-        xs_in = (params["layers"], jnp.arange(cfg.num_layers))
-    else:
-        xs_in = (params["layers"],) + _cache_xs(rkv)
+    xs_in = (params["layers"], jnp.arange(cfg.num_layers))
     x, (nk, nv) = jax.lax.scan(body, x, xs_in)
     if not commit:
         # full-width spec forwards recompute every scratch row from their

@@ -45,27 +45,48 @@ def _pallas_ok(b: int, s_loc: int, gt: int) -> bool:
             and not os.environ.get("TRIFORCE_NO_PALLAS"))
 
 
-def _cache_partials_local(q, k, v, k_len, ks, vs, mask_fn=None):
+def _cache_partials_local(q, k, v, k_len, ks, vs, mask_fn=None,
+                          layer=None):
     """Online-softmax partials over one device's local cache shard, through
     the Pallas flash-decode kernel when the local shapes are eligible.
-    Returns the [B, Hkv, G, T(,D)] layout of ``attention_partials``."""
+    Returns the [B, Hkv, G, T(,D)] layout of ``attention_partials``.
+
+    ``layer`` (traced i32, optional): k/v are the WHOLE stacked
+    [L, B, Hkv, S_loc, D] local cache and the kernel DMAs blocks of layer
+    ``layer`` in place — the zero-copy addressing the meshless path uses
+    (append_attention_auto); without it every scan step materialises its
+    slab as an HBM->HBM copy (~2x the kernel's own cost at 64K,
+    probes/_r2_scanxs.py)."""
+    stacked = layer is not None
     b, hq, t, d = q.shape
-    hkv, s_loc = k.shape[1], k.shape[2]
+    if stacked:
+        hkv, s_loc = k.shape[2], k.shape[3]
+    else:
+        hkv, s_loc = k.shape[1], k.shape[2]
     g = hq // hkv
-    if mask_fn is not None:
-        return attention_partials(q, k, v, k_len=k_len, mask_fn=mask_fn,
-                                  k_scale=ks, v_scale=vs)
-    if _pallas_ok(b, s_loc, g * t):
+    if mask_fn is None and _pallas_ok(b, s_loc, g * t):
         from .flash_decode import flash_decode_partials, _pick_block
         block = _pick_block(s_loc, hkv, d, g * t, 0, quant=ks is not None)
         qh = q[0].reshape(hkv, g * t, d)
         m, l, acc = flash_decode_partials(
-            qh, k[0], v[0], k_len, block=block,
-            k_scale=None if ks is None else ks[0],
-            v_scale=None if vs is None else vs[0])
+            qh, k[:, 0] if stacked else k[0],
+            v[:, 0] if stacked else v[0], k_len, block=block,
+            k_scale=None if ks is None else (ks[:, 0] if stacked else ks[0]),
+            v_scale=None if vs is None else (vs[:, 0] if stacked else vs[0]),
+            layer=layer)
         return (m.reshape(1, hkv, g, t), l.reshape(1, hkv, g, t),
                 acc.reshape(1, hkv, g, t, d))
-    return attention_partials(q, k, v, k_len=k_len, k_scale=ks, v_scale=vs)
+    if stacked:
+        # portable fallback (CPU dryrun / kernel-ineligible shapes): slice
+        # the LOCAL layer slab — on the kernel path above no slab is ever
+        # materialised
+        ly = jnp.asarray(layer, jnp.int32)
+        k = jnp.take(k, ly, axis=0)
+        v = jnp.take(v, ly, axis=0)
+        ks = None if ks is None else jnp.take(ks, ly, axis=0)
+        vs = None if vs is None else jnp.take(vs, ly, axis=0)
+    return attention_partials(q, k, v, k_len=k_len, mask_fn=mask_fn,
+                              k_scale=ks, v_scale=vs)
 
 
 def merge_partials_psum(p, axis_name: str):
@@ -82,7 +103,7 @@ def merge_partials_psum(p, axis_name: str):
 def append_attention_sharded(mesh: Mesh, q, k_cache, v_cache, k_new, v_new,
                              *, k_len, new_mask=None, k_scale=None,
                              v_scale=None, shard_seq: bool = True,
-                             cache_mask_fn=None):
+                             cache_mask_fn=None, layer=None):
     """Attention of T new tokens vs a mesh-sharded cache + themselves.
 
     q/k_new/v_new: [B, H(q|kv), T, D], heads sharded over ``tp``, replicated
@@ -102,15 +123,20 @@ def append_attention_sharded(mesh: Mesh, q, k_cache, v_cache, k_new, v_new,
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, tn), 1)
         new_mask = cols <= rows
     new_mask = jnp.asarray(new_mask, bool)
-    s = k_cache.shape[2]
+    stacked = layer is not None
+    s = k_cache.shape[3] if stacked else k_cache.shape[2]
     sp = mesh.shape["sp"]
     if shard_seq:
         assert s % sp == 0, (s, sp)
     shard_len = s // sp if shard_seq else s
     quant = k_scale is not None
 
-    def inner(q, k_shard, v_shard, k_new, v_new, new_mask, k_len, *scales):
-        ks, vs = scales if quant else (None, None)
+    def inner(q, k_shard, v_shard, k_new, v_new, new_mask, k_len, *rest):
+        if stacked:
+            ly, rest = rest[0], rest[1:]
+        else:
+            ly = None
+        ks, vs = rest if quant else (None, None)
         mask_fn = cache_mask_fn
         if shard_seq:
             idx = jax.lax.axis_index("sp")
@@ -123,21 +149,31 @@ def append_attention_sharded(mesh: Mesh, q, k_cache, v_cache, k_new, v_new,
         else:
             local_len = k_len
         p = _cache_partials_local(q, k_shard, v_shard, local_len, ks, vs,
-                                  mask_fn=mask_fn)
+                                  mask_fn=mask_fn, layer=ly)
         if shard_seq:
             p = merge_partials_psum(p, "sp")
         pn = new_block_partials(q, k_new, v_new, new_mask)
         return finalize(merge_partials(p, pn), q.dtype)
 
     seq = "sp" if shard_seq else None
-    spec_rep = P("dp", "tp", None, None)
-    spec_kv = P("dp", "tp", seq, None)
+    # the B axis is replicated here (the single-sequence step runs B=1);
+    # batched rows shard over "dp" OUTSIDE via jax.vmap(spmd_axis_name="dp")
+    # — the batching rule prepends dp to every spec (batched_spec.py), so
+    # "dp" must stay free in these specs
+    spec_rep = P(None, "tp", None, None)
+    # stacked caches carry a leading layer axis (replicated)
+    spec_kv = P(None, None, "tp", seq, None) if stacked \
+        else P(None, "tp", seq, None)
+    spec_sc = P(None, None, "tp", seq) if stacked else P(None, "tp", seq)
     in_specs = [spec_rep, spec_kv, spec_kv, spec_rep, spec_rep,
                 P(None, None), P()]
     args = [q, k_cache, v_cache, k_new, v_new, new_mask,
             jnp.asarray(k_len, jnp.int32)]
+    if stacked:
+        in_specs += [P()]
+        args += [jnp.asarray(layer, jnp.int32)]
     if quant:
-        in_specs += [P("dp", "tp", seq), P("dp", "tp", seq)]
+        in_specs += [spec_sc, spec_sc]
         args += [k_scale, v_scale]
     f = shard_map(inner, mesh=mesh, in_specs=tuple(in_specs),
                   out_specs=spec_rep)

@@ -80,7 +80,9 @@ def kv_shardings(mesh: Mesh, cfg: ModelConfig, shard_seq: bool = False):
         f"num_kv_heads {cfg.num_kv_heads} not divisible by tp={tp}; "
         "use sp for sequence sharding instead")
     seq = "sp" if shard_seq else None
-    return NamedSharding(mesh, P(None, "dp", "tp", seq, None))
+    # B is 1 in the single-sequence engine — replicated; batched rows get
+    # the dp axis prepended by batched_state_shardings instead
+    return NamedSharding(mesh, P(None, None, "tp", seq, None))
 
 
 def scale_shardings(mesh: Mesh, cfg: ModelConfig, shard_seq: bool = False):
@@ -89,7 +91,7 @@ def scale_shardings(mesh: Mesh, cfg: ModelConfig, shard_seq: bool = False):
     tp = mesh.shape["tp"]
     assert cfg.num_kv_heads % tp == 0
     seq = "sp" if shard_seq else None
-    return NamedSharding(mesh, P(None, "dp", "tp", seq))
+    return NamedSharding(mesh, P(None, None, "tp", seq))
 
 
 def state_shardings(mesh: Mesh, target_cfg: ModelConfig, draft_cfg,
@@ -119,6 +121,20 @@ def state_shardings(mesh: Mesh, target_cfg: ModelConfig, draft_cfg,
         rkv=RetrievalCache(k=rkv, v=rkv, **rkv_extra),
         dkv=StreamingCache(k=dkv_s, v=dkv_s, seq_len=scalar),
         next_token=scalar, key=scalar)
+
+
+def batched_state_shardings(mesh: Mesh, target_cfg: ModelConfig, draft_cfg,
+                            shard_seq: bool = False, quant: bool = False):
+    """Shardings for a ROW-STACKED TriForceState (leading axis = row,
+    sharded over ``dp``; every other axis as in :func:`state_shardings`).
+    Used by batched_spec's dp x tp composition: the vmapped step assigns
+    the row axis to "dp" via ``spmd_axis_name``, and the at-rest state must
+    match."""
+    base = state_shardings(mesh, target_cfg, draft_cfg,
+                           shard_seq=shard_seq, quant=quant)
+    return jax.tree.map(
+        lambda ns: NamedSharding(mesh, P(*(("dp",) + tuple(ns.spec)))),
+        base)
 
 
 def shard_params(params, mesh: Mesh, cfg: ModelConfig):
