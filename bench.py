@@ -224,14 +224,17 @@ def run_spec(engine, gen_len, mode, alphas, with_draft,
         # VERDICT r2 weak#6). alpha is traced: every probe reuses the one
         # compiled program. Secant-style update coin *= target/realized.
         target = calibrate_to
-        coin = min(0.999, target + 0.05)
-        realized = None
-        # each probe aggregates 3 same-shape runs (max_len is a STATIC arg
-        # — a longer run would recompile the whole forced program): the
-        # realized-acceptance estimate needs ~400+ proposals for
-        # sigma ~ 0.02 (a single 128-token run has ~140, whose noise made
-        # the search oscillate in r3 try1)
+        # realized(coin) is monotone but STEEP near 1 (a rejection
+        # truncates the chain), so bisect a bracket instead of a secant
+        # (r3 try2: secant steps cycled between the clamp and undershoot).
+        # lo = target always realizes below target; hi ~ 1 realizes ~ 1.
+        # Each probe aggregates 3 same-shape runs (max_len is a STATIC arg
+        # — a longer one would recompile the whole forced program) for
+        # ~400+ proposals -> sigma ~ 0.02.
+        lo, hi = target, 0.9995
+        coin = realized = None
         for _ in range(4):
+            coin = 0.5 * (lo + hi)
             acc = prop = 0
             for _r in range(3):
                 state, n, counters, dt = _timed_generation(
@@ -243,12 +246,12 @@ def run_spec(engine, gen_len, mode, alphas, with_draft,
             realized = acc / max(prop, 1)
             log(f"[bench] {mode} calibrate: coin={coin:.4f} -> "
                 f"realized {realized:.3f} (target {target})")
-            if abs(realized - target) < 0.015:
+            if abs(realized - target) < 0.012:
                 break
-            # damped update, clamped to [target, 0.9995]: realized <= coin
-            # in expectation
-            coin = min(0.9995, max(
-                target, coin * (target / max(realized, 1e-3)) ** 0.7))
+            if realized < target:
+                lo = coin
+            else:
+                hi = coin
         # timed run at the calibrated coin
         state, n, counters, dt = _timed_generation(
             lambda s: engine.generate_forced(s, gen_len, coin, mode=mode),

@@ -184,7 +184,7 @@ class BatchedSpecEngine:
             states.append(st)
         state = stack_states(states)
         if self._composed:
-            from ..parallel import sharding as shard_mod
+            from .parallel import sharding as shard_mod
             state = jax.device_put(state, shard_mod.batched_state_shardings(
                 self.mesh, eng.target_cfg, eng.draft_cfg,
                 shard_seq=eng.shard_seq, quant=eng.kv_quant))

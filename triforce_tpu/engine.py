@@ -488,9 +488,9 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
 
     def body(c):
         n0 = c["n"]
-        key, kd, ka = jax.random.split(c["key"], 3)
+        key, kd, ka, kw = jax.random.split(c["key"], 4)
         kds = jax.random.split(kd, k)       # per-proposal drafter samples
-        kas = jax.random.split(ka, k + 1)   # per-proposal tests + bonus
+        kas = jax.random.split(kw, 2)       # reject sample + bonus sample
 
         # --- chain drafting: up to k drafter forwards (early exit past the
         # gamma-1 proposal cap, so a tail round does not pay full-k drafts)
@@ -527,48 +527,56 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         rows = jnp.take(m_logits[0], rows_idx, axis=0)       # [k+1, V]
         p_rows = sampling.norm_logits(rows, sp.temperature, -1, sp.top_p)
 
-        # --- accept walk over the chain ------------------------------------
-        def w_body(j, wc):
-            n, alive, gen_tokens, gen_probs, acc, tested = wc
-            consumed = alive & (j < i_fin)
-            tok = chain_toks[j]
-            kr, ks = jax.random.split(kas[j])
-            r = jax.random.uniform(kr)
-            if force_accept is None:
-                ratio = p_rows[j, tok] / jnp.maximum(chain_q[j], 1e-37)
-                ok = r < jnp.minimum(1.0, ratio)
-            else:
-                # controlled-acceptance validation: coin-flip accept at a
-                # FIXED rate while running every real forward (bench
-                # methodology — random weights cannot express trained-model
-                # acceptance, NOTES_ROUND1.md)
-                ok = r < force_accept
-            # reject: sample directly from this position's middle
-            # distribution — no residual at the middle level (SURVEY §2.3)
-            res = sampling.sample(ks, p_rows[j]).astype(jnp.int32)
-            newtok = jnp.where(ok, tok, res)
-            upd_t = jax.lax.dynamic_update_slice(gen_tokens, newtok[None],
-                                                 (n,))
-            upd_p = jax.lax.dynamic_update_slice(
-                gen_probs, p_rows[j][None], (n, jnp.int32(0)))
-            gen_tokens = jnp.where(consumed, upd_t, gen_tokens)
-            gen_probs = jnp.where(consumed, upd_p, gen_probs)
-            n = n + consumed.astype(jnp.int32)
-            acc = acc + (consumed & ok).astype(jnp.int32)
-            tested = tested + consumed.astype(jnp.int32)
-            alive = alive & (~consumed | ok)
-            return n, alive, gen_tokens, gen_probs, acc, tested
+        # --- accept walk over the chain, VECTORIZED: all per-proposal
+        # coins at once, ONE middle-distribution sample at the first
+        # rejection (only that one is ever consumed; the sequential form
+        # drew a categorical over the whole vocab per position)
+        js = jnp.arange(k)
+        rs = jax.random.uniform(ka, (k,))
+        if force_accept is None:
+            ratios = p_rows[js, chain_toks] / jnp.maximum(chain_q, 1e-37)
+            ok_v = rs < jnp.minimum(1.0, ratios)
+        else:
+            # controlled-acceptance validation: coin-flip accept at a FIXED
+            # rate while running every real forward (bench methodology —
+            # random weights cannot express trained-model acceptance,
+            # NOTES_ROUND1.md)
+            ok_v = rs < force_accept
+        drafted = js < i_fin
+        rej_v = drafted & ~ok_v
+        any_rej = jnp.any(rej_v)
+        j_rej = jnp.argmax(rej_v)                  # first rejection
+        used = jnp.where(any_rej, j_rej + 1, i_fin)   # proposals consumed
+        # reject: sample directly from that position's middle distribution
+        # — no residual at the middle level (SURVEY §2.3)
+        res = sampling.sample(
+            kas[k], jnp.take(p_rows, j_rej, axis=0)).astype(jnp.int32)
+        final_toks = jnp.where((js == j_rej) & any_rej, res, chain_toks)
 
-        n, alive, gen_tokens, gen_probs, acc, tested = jax.lax.fori_loop(
-            0, k, w_body,
-            (n0, jnp.bool_(True), c["gen_tokens"], c["gen_probs"],
-             c["mid_accept"], c["mid_draft"]))
+        # commit consumed positions: tokens and their middle rows (the
+        # middle row is the q the OUTER test consumes, for accepted and
+        # rejected positions alike — reference decoding.py:193-220)
+        def w_body(j, wc):
+            gen_tokens, gen_probs = wc
+            upd_t = jax.lax.dynamic_update_slice(
+                gen_tokens, final_toks[j][None], (n0 + j,))
+            upd_p = jax.lax.dynamic_update_slice(
+                gen_probs, p_rows[j][None], (n0 + j, jnp.int32(0)))
+            keep = j < used
+            return (jnp.where(keep, upd_t, gen_tokens),
+                    jnp.where(keep, upd_p, gen_probs))
+
+        gen_tokens, gen_probs = jax.lax.fori_loop(
+            0, k, w_body, (c["gen_tokens"], c["gen_probs"]))
+        n = n0 + used
+        acc = c["mid_accept"] + used - any_rej.astype(jnp.int32)
+        tested = c["mid_draft"] + used
 
         # --- bonus on a fully accepted chain (decoding.py:201-209): sample
         # from the middle row AFTER the last accepted token (= row n - n0)
-        bonus_ok = alive & (n <= gamma)
+        bonus_ok = ~any_rej & (n <= gamma)
         b_row = jnp.take(p_rows, jnp.clip(n - n0, 0, k), axis=0)
-        b_tok = sampling.sample(kas[k], b_row).astype(jnp.int32)
+        b_tok = sampling.sample(kas[0], b_row).astype(jnp.int32)
         upd_t = jax.lax.dynamic_update_slice(gen_tokens, b_tok[None], (n,))
         upd_p = jax.lax.dynamic_update_slice(gen_probs, b_row[None],
                                              (n, jnp.int32(0)))
@@ -606,48 +614,47 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
     p_all = sampling.norm_logits(logits[0], sp.temperature, sp.top_k,
                                  sp.top_p)               # [gamma+2, V]
 
-    # --- exact rejection sampling (decoding.py:97-118) ---------------------
-    def rej_body(i, c):
-        count, continuing, pred, resampled, eos_hit, key = c
-        key, kr, ks = jax.random.split(key, 3)
-        live = (i < gamma2) & continuing
-        tok = gen_tokens[i]
-        q_tok = gen_probs[i, tok]
-        p_tok = p_all[i, tok]
-        r = jax.random.uniform(kr)
-        if force_accept is None:
-            accept = r < jnp.minimum(1.0, p_tok / jnp.maximum(q_tok, 1e-37))
-        else:
-            accept = r < force_accept
+    # --- exact rejection sampling (decoding.py:97-118), VECTORIZED: all
+    # gamma+1 accept tests at once, then ONE residual sample at the first
+    # rejection (the sequential loop drew a categorical over the whole
+    # vocab per position; only the first rejection's is ever used)
+    key, kb, kr, ks = jax.random.split(key, 4)
+    pos = jnp.arange(gamma + 1)
+    toks = gen_tokens[:gamma + 1]
+    q_sel = gen_probs[pos, toks]
+    p_sel = p_all[pos, toks]
+    rs = jax.random.uniform(kr, (gamma + 1,))
+    if force_accept is None:
+        accept_v = rs < jnp.minimum(1.0, p_sel / jnp.maximum(q_sel, 1e-37))
+    else:
+        accept_v = rs < force_accept
+    live = pos < gamma2
+    # the walk stops at the first rejection OR the first ACCEPTED EOS
+    # (continuing flag in the reference); positions after the stop are dead
+    stop_v = live & (~accept_v | (accept_v & (toks == eos_token_id)))
+    any_stop = jnp.any(stop_v)
+    j_stop = jnp.argmax(stop_v)               # first True (0 if none)
+    stop_acc = accept_v[j_stop]               # stop was an accepted EOS
+    count = jnp.where(any_stop, j_stop + stop_acc.astype(jnp.int32), gamma2)
+    rejected = any_stop & ~stop_acc
+    res_row = sampling.max_fn(
+        jnp.take(p_all, j_stop, axis=0) - jnp.take(gen_probs, j_stop,
+                                                   axis=0))
+    res = sampling.sample(ks, res_row).astype(jnp.int32)
+    resampled = rejected
 
-        res = sampling.sample(ks, sampling.max_fn(p_all[i] - gen_probs[i]))
-
-        acc_now = live & accept
-        rej_now = live & ~accept
-        count = count + acc_now.astype(jnp.int32)
-        pred = jnp.where(acc_now, tok, jnp.where(rej_now, res, pred))
-        # EOS can arrive on EITHER path: an accepted proposal or the
-        # residual resample (the reference breaks on pred_token_idx == eos
-        # unconditionally, decoding.py:107-121)
-        eos_now = (acc_now & (tok == eos_token_id)) | \
-            (rej_now & (res == eos_token_id))
-        eos_hit = eos_hit | eos_now
-        resampled = resampled | rej_now
-        continuing = continuing & ~rej_now & ~(acc_now &
-                                               (tok == eos_token_id))
-        return (count, continuing, pred, resampled, eos_hit, key)
-
-    key, kb = jax.random.split(key)
-    count, continuing, pred, resampled, eos_hit, key = jax.lax.fori_loop(
-        0, gamma + 1, rej_body,
-        (jnp.int32(0), jnp.bool_(True), jnp.int32(JUNK_TOKEN),
-         jnp.bool_(False), jnp.bool_(False), key))
-
-    # --- bonus token when everything was accepted (decoding.py:127-134) ---
+    # --- bonus token when everything was accepted (decoding.py:127-134):
+    # computed from count alone, exactly like the reference — an EOS
+    # accepted at the last live position still earns the bonus sample
     bonus = count == gamma2
     bonus_tok = sampling.sample(kb, p_all[gamma2])
-    pred = jnp.where(bonus, bonus_tok, pred)
-    eos_hit = eos_hit | (bonus & (bonus_tok == eos_token_id))
+    pred = jnp.where(bonus, bonus_tok,
+                     jnp.where(rejected, res, toks[j_stop]))
+    # EOS on any emitting path: accepted proposal, residual resample, bonus
+    # (the reference breaks on pred_token_idx == eos unconditionally,
+    # decoding.py:107-121)
+    eos_hit = (any_stop & stop_acc) | (rejected & (res == eos_token_id)) \
+        | (bonus & (bonus_tok == eos_token_id))
 
     # --- cache commit: rollback + retrieval tail refresh ------------------
     # appended gamma+2, want old + count + 1 kept (decoding.py:124).

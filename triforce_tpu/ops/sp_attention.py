@@ -175,8 +175,12 @@ def append_attention_sharded(mesh: Mesh, q, k_cache, v_cache, k_new, v_new,
     if quant:
         in_specs += [spec_sc, spec_sc]
         args += [k_scale, v_scale]
+    # check_vma off: under batched_spec's vmap(spmd_axis_name="dp") the
+    # varying-manual-axes analysis flags {tp,dp}-varying vs {tp}-varying
+    # mixes that are in fact independent per row (same workaround as the
+    # dp-only outer shard_map in batched_spec.py); out_specs are explicit
     f = shard_map(inner, mesh=mesh, in_specs=tuple(in_specs),
-                  out_specs=spec_rep)
+                  out_specs=spec_rep, check_vma=False)
     return f(*args)
 
 
