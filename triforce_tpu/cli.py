@@ -173,7 +173,11 @@ def main(argv=None):
             raise SystemExit(
                 f"--tp {args.tp} does not divide num_kv_heads "
                 f"{t_cfg.num_kv_heads}; put the surplus on --sp instead")
-        mesh = mesh_mod.make_mesh(tp=args.tp, sp=args.sp)
+        # --batch with model parallelism: ONE (dp, tp, sp) mesh — rows ride
+        # dp via BatchedSpecEngine's vmap(spmd_axis_name), heads/sequence
+        # shard inside the step (the production mesh shape)
+        dp = args.dp if args.batch > 1 else 1
+        mesh = mesh_mod.make_mesh(tp=args.tp, sp=args.sp, dp=dp)
 
     print_config(mode=args.mode, model=args.model, prefill=args.prefill,
                  gen_len=args.gen_len, gamma=args.gamma, budget=args.budget,
@@ -259,9 +263,12 @@ def _run_batched(engine, args, prompts):
 
     b = args.batch
     dp_mesh = None
-    if args.dp > 1:
+    if engine.mesh is None and args.dp > 1:
+        # dp-only serving (no tp/sp): rows shard over a dedicated dp mesh
         from .parallel import mesh as mesh_mod
         dp_mesh = mesh_mod.make_mesh(dp=args.dp)
+    # engine.mesh set: the (dp, tp, sp) composition — BatchedSpecEngine
+    # picks the mesh up from the engine itself
     bat = BatchedSpecEngine(engine, mode=args.mode, mesh=dp_mesh)
     rows = [jnp.asarray(data_mod.fit_prompt(prompts[i % len(prompts)],
                                             args.prefill))
