@@ -32,3 +32,21 @@ def test_cli_triforce():
     res = cli.main(["--mode", "triforce", "--draft", "tiny-draft", *COMMON,
                     "--draft_cache_budget", "36", "--start_size", "4"])
     assert len(res.tokens) >= 12
+
+
+def test_cli_middle_chain():
+    res = cli.main(["--mode", "triforce", *COMMON, "--draft", "tiny-draft",
+                    "--middle_chain", "0"])   # 0 = auto (gamma)
+    assert res.tokens_per_sec > 0 and len(res.tokens) >= 12
+
+
+def test_cli_batched_dpxtpxsp():
+    """--batch with the full (dp, tp, sp) mesh: the production serving
+    shape, end to end through the CLI (needs 8 virtual devices)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    res = cli.main(["--mode", "retrieval", *COMMON, "--batch", "4",
+                    "--dp", "2", "--tp", "2", "--sp", "2"])
+    assert res.tokens_per_sec > 0
+    assert 0.0 <= res.acceptance_rate <= 1.0   # real rate, not NaN
