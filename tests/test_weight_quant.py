@@ -80,3 +80,33 @@ def test_weight_quant_sharded():
         cfg8, p, i, c, mesh=m))(sq, ids, kv1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_engine_weight_quant_quantizes_drafter_and_decodes():
+    """weight_quant must also quantize the DRAFTER (at middle_chain=k the
+    drafter streams its weights k times per step) and the 3-level hierarchy
+    must still decode."""
+    import jax
+    import jax.numpy as jnp
+    from triforce_tpu import config as C
+    from triforce_tpu.config import SpecConfig
+    from triforce_tpu.engine import Engine
+    from triforce_tpu.models import llama
+
+    tcfg, dcfg = C.TINY_TARGET, C.TINY_DRAFT
+    spec = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
+                      draft_recent_size=12, middle_chain=3)
+    t = llama.init_params(jax.random.PRNGKey(0), tcfg, dtype=jnp.float32)
+    d = llama.init_params(jax.random.PRNGKey(1), dcfg, dtype=jnp.float32)
+    eng = Engine(tcfg, spec, t, draft_cfg=dcfg, draft_params=d, prefill=32,
+                 max_cache_len=96, dtype=jnp.float32, prefill_chunk=16,
+                 draft_prefill_chunk=8, weight_quant=True, donate=False)
+    assert eng.d_params["layers"]["wq"].dtype == jnp.int8
+    assert "wq_scale" in eng.d_params["layers"]
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 32), 0,
+                             tcfg.vocab_size)
+    st = eng.init_state(jax.random.PRNGKey(3))
+    st = eng.prefill_target(st, ids)
+    st = eng.prefill_draft(st, ids)
+    st, stats = eng.triforce_step(st)
+    assert int(stats.n_emitted) >= 1

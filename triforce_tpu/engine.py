@@ -108,10 +108,15 @@ class Engine:
         self.shard_seq = shard_seq
         self.weight_quant = weight_quant
         if weight_quant:
-            # int8 weight-only quantization of the TARGET (the drafter's
-            # 68M weights are noise next to the cache stream); per-channel
-            # scales, applied on matmul outputs (llama._wmm)
+            # int8 weight-only quantization, per-channel scales applied on
+            # matmul outputs (llama._wmm). The TARGET matters most, but at
+            # middle_chain=k the drafter streams its weights k times per
+            # step (~1.2 ms at k=6, bf16 68M-proxy) — quantize it too; the
+            # drafter is only a proposal distribution, so losslessness is
+            # untouched
             target_params = llama.quantize_weights(target_params)
+            if draft_params is not None:
+                draft_params = llama.quantize_weights(draft_params)
         if mesh is not None:
             from .parallel import sharding as shard_mod
             from jax.sharding import NamedSharding, PartitionSpec
