@@ -528,8 +528,14 @@ def main() -> None:
         best_mode = max(modes,
                         key=lambda m: _head_rec(m)["tokens_per_sec"])
         head = _head_rec(best_mode)
-    elif "tree" in results:  # tree-only run: raw measured tree throughput
-        best_mode, head = "tree", results["tree"]["raw"]
+    elif "tree" in results:
+        # tree-only run: prefer the controlled-acceptance row (raw tree
+        # throughput on random weights benchmarks the fixture's chaotic
+        # acceptance, not the system)
+        tr = results["tree"]
+        best_mode = "tree"
+        head = tr["forced"].get(a) or tr["raw"] if "forced" in tr \
+            else tr["raw"]
     else:
         # batched-only run: the AR baseline was measured at the PRESET
         # prefill while run_batched uses a shorter context (B caches must

@@ -42,7 +42,9 @@ import jax.numpy as jnp
 from ..config import ModelConfig, SpecConfig
 from ..cache import (KVCache, RetrievalCache, StreamingCache,
                      quantize_tokens)
-from ..ops.attention import append_attention, append_attention_auto
+from ..ops.attention import (append_attention, append_attention_auto,
+                             attention_partials, new_block_partials,
+                             merge_partials, finalize)
 from ..ops.sp_attention import append_attention_sharded
 from ..ops import retrieval as retrieval_ops
 from . import rope
@@ -456,23 +458,39 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     x = jnp.take(params["embed"], input_ids, axis=0)
 
     def make_body(base, bound, use_quant, seq_sharded=False):
+        # sharded grow body: monolithic masked attention inside shard_map
+        # (the decomposed fast form below would slice the staged tree block
+        # across sp shard boundaries)
         def body(x, xs):
             lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, use_quant)
             h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
             q, k_new, v_new = _qkv(h, lp, cfg)
             q = rope.apply_rope(q, cos, sin, positions)
             k_new = rope.apply_rope(k_new, cos, sin, positions)
-            if mesh is not None:
-                ctx = append_attention_sharded(
-                    mesh, q, k_all, v_all, k_new, v_new, k_len=bound,
-                    cache_mask_fn=mask_from(base), new_mask=new_mask,
-                    k_scale=ks_all, v_scale=vs_all, shard_seq=seq_sharded)
-            else:
-                ctx = append_attention(q, k_all, v_all, k_new, v_new,
-                                       k_len=bound,
-                                       cache_mask_fn=mask_from(base),
-                                       new_mask=new_mask, k_scale=ks_all,
-                                       v_scale=vs_all)
+            ctx = append_attention_sharded(
+                mesh, q, k_all, v_all, k_new, v_new, k_len=bound,
+                cache_mask_fn=mask_from(base), new_mask=new_mask,
+                k_scale=ks_all, v_scale=vs_all, shard_seq=seq_sharded)
+            x = x + _attn_out(ctx, lp)
+            h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+            x = x + _mlp(h, lp)
+            return x, (k_new, v_new)
+        return body
+
+    def make_body_fast(cache, prefix_len, staged_start):
+        # meshless grow body: fully-visible prefix (zero-copy stacked
+        # partials, Pallas-eligible — grow level widths are <= 128) +
+        # ancestor-masked staged tree block + same-level self block
+        # (_tree_grow_attention); xs carry ABSOLUTE layer indices
+        def body(x, xs):
+            lp, li = xs
+            h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+            q, k_new, v_new = _qkv(h, lp, cfg)
+            q = rope.apply_rope(q, cos, sin, positions)
+            k_new = rope.apply_rope(k_new, cos, sin, positions)
+            ctx = _tree_grow_attention(cfg, q, cache, li, prefix_len,
+                                       staged_start, slot_start, amask,
+                                       k_new, v_new, new_mask)
             x = x + _attn_out(ctx, lp)
             h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
             x = x + _mlp(h, lp)
@@ -487,19 +505,104 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         # ssl layers: full-cache hybrid attention; committed tree nodes sit
         # at [kv_seq_len, kv_seq_len + slot_start)
         fq = kv.quantized
-        xs_ssl = (slice_layers(params["layers"], 0, ssl),) + tuple(
-            a[:ssl] for a in _cache_xs(kv))
-        x, (nk, nv) = jax.lax.scan(
-            make_body(kv_seq_len, kv_seq_len + slot_start, fq,
-                      seq_sharded=shard_seq), x, xs_ssl)
+        if mesh is None:
+            xs_ssl = (slice_layers(params["layers"], 0, ssl),
+                      jnp.arange(ssl))
+            x, (nk, nv) = jax.lax.scan(
+                make_body_fast(kv, kv_seq_len, kv_seq_len), x, xs_ssl)
+        else:
+            xs_ssl = (slice_layers(params["layers"], 0, ssl),) + tuple(
+                a[:ssl] for a in _cache_xs(kv))
+            x, (nk, nv) = jax.lax.scan(
+                make_body(kv_seq_len, kv_seq_len + slot_start, fq,
+                          seq_sharded=shard_seq), x, xs_ssl)
         kv_out = _commit_partial(kv, nk, nv, kv_seq_len + slot_start,
                                  layer0=0)
     if ssl < L:
-        xs_r = (slice_layers(params["layers"], ssl, L),) + tuple(
-            a[ssl:] for a in _cache_xs(rkv))
-        x, (nk, nv) = jax.lax.scan(make_body(budget, k_len, quant), x, xs_r)
+        if mesh is None:
+            xs_r = (slice_layers(params["layers"], ssl, L),
+                    jnp.arange(ssl, L))
+            x, (nk, nv) = jax.lax.scan(
+                make_body_fast(rkv, jnp.asarray(budget, jnp.int32),
+                               jnp.asarray(budget, jnp.int32)), x, xs_r)
+        else:
+            xs_r = (slice_layers(params["layers"], ssl, L),) + tuple(
+                a[ssl:] for a in _cache_xs(rkv))
+            x, (nk, nv) = jax.lax.scan(make_body(budget, k_len, quant), x,
+                                       xs_r)
         rkv = _commit_partial(rkv, nk, nv, write0, layer0=ssl)
     return _logits(cfg, params, x), rkv, kv_out
+
+
+
+def _tree_grow_attention(cfg, q, cache, li, prefix_len, staged_start,
+                         slot_start: int, amask, k_new, v_new, new_mask):
+    """Meshless grow-level attention, decomposed (round 3):
+
+      prefix   — slots [0, prefix_len): FULLY visible, so no mask_fn —
+                 zero-copy stacked partials through the Pallas flash-decode
+                 kernel when eligible (the masked monolithic form forced
+                 the XLA partials path over the whole multi-GB buffer);
+      staged   — slots [staged_start, staged_start + slot_start): the tree
+                 nodes earlier levels committed, visible per the static
+                 ancestor-mask columns;
+      self     — the frontier block (same-level nodes see only themselves).
+
+    Exact same visibility set as the previous cache_mask_fn form
+    (mask_from in the sharded branch), associatively merged partials.
+    """
+    import os
+    from ..ops.attention import _PALLAS_DISABLED
+    quant = cache.quantized
+    b, hq, t, d = q.shape
+    L, _, hkv, s = cache.k.shape[:4]
+    g = hq // hkv
+    gt = g * t
+
+    use_pallas = (
+        b == 1 and s % 512 == 0 and s >= 2048 and gt <= 128
+        and jax.default_backend() == "tpu"
+        and not _PALLAS_DISABLED[0]
+        and not os.environ.get("TRIFORCE_NO_PALLAS"))
+    if use_pallas:
+        from ..ops.flash_decode import flash_decode_partials, _pick_block
+        block = _pick_block(s, hkv, d, gt, 0, quant=quant)
+        qh = q[0].reshape(hkv, gt, d)
+        m, l, acc = flash_decode_partials(
+            qh, cache.k[:, 0], cache.v[:, 0], prefix_len, block=block,
+            k_scale=cache.k_scale[:, 0] if quant else None,
+            v_scale=cache.v_scale[:, 0] if quant else None,
+            layer=li)
+        p = (m.reshape(b, hkv, g, t), l.reshape(b, hkv, g, t),
+             acc.reshape(b, hkv, g, t, d))
+    else:
+        ly = jnp.asarray(li, jnp.int32)
+        k_l = jnp.take(cache.k, ly, axis=0)
+        v_l = jnp.take(cache.v, ly, axis=0)
+        p = attention_partials(
+            q, k_l, v_l, k_len=prefix_len,
+            k_scale=jnp.take(cache.k_scale, ly, axis=0) if quant else None,
+            v_scale=jnp.take(cache.v_scale, ly, axis=0) if quant else None)
+
+    if slot_start > 0:
+        zero = jnp.zeros((), jnp.int32)
+        st = jnp.asarray(staged_start, jnp.int32)
+        idx = (jnp.asarray(li, jnp.int32), zero, zero, st, zero)
+        ks = jax.lax.dynamic_slice(cache.k, idx, (1, b, hkv, slot_start, d))[0]
+        vs = jax.lax.dynamic_slice(cache.v, idx, (1, b, hkv, slot_start, d))[0]
+        if quant:
+            idx4 = idx[:4]
+            kss = jax.lax.dynamic_slice(cache.k_scale, idx4,
+                                        (1, b, hkv, slot_start))[0]
+            vss = jax.lax.dynamic_slice(cache.v_scale, idx4,
+                                        (1, b, hkv, slot_start))[0]
+            ks = (ks.astype(jnp.float32) * kss[..., None]).astype(q.dtype)
+            vs = (vs.astype(jnp.float32) * vss[..., None]).astype(q.dtype)
+        p_staged = new_block_partials(q, ks, vs, amask[:, :slot_start])
+        p = merge_partials(p, p_staged)
+
+    p_self = new_block_partials(q, k_new, v_new, new_mask)
+    return finalize(merge_partials(p, p_self), q.dtype)
 
 
 def _commit_partial(cache, new_k, new_v, start, layer0: int):
