@@ -153,12 +153,18 @@ def init_retrieval(cfg: ModelConfig, spec: SpecConfig, batch: int = 1,
 
 def init_tree_retrieval(cfg: ModelConfig, budget: int, tree_size: int,
                         batch: int = 1, dtype=jnp.bfloat16,
-                        quant: bool = False) -> RetrievalCache:
+                        quant: bool = False, pad: int = 0) -> RetrievalCache:
     """Tree-speculation variant: ``budget`` selected slots + ``tree_size``
     scratch slots addressed by (static) storage ids.
     reference: cache.py:385-483 (DistributedRetrievalCache_Seqouia,
-    real_budget = max_budget + tree_size at cache.py:408)."""
-    real = budget + tree_size
+    real_budget = max_budget + tree_size at cache.py:408).
+
+    ``pad``: extra junk slots past the tree region so the padded-width grow
+    levels (spectree._padded_levels) can write their fixed-width blocks
+    without a clamped dynamic_update_slice sliding back over committed tree
+    slots (a deep level's padded write would otherwise corrupt ancestor KV
+    that later levels still read)."""
+    real = budget + tree_size + pad
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, real, cfg.head_dim)
     if quant:
         return RetrievalCache(k=jnp.zeros(shape, jnp.int8),
@@ -277,7 +283,17 @@ def gather_kv_incremental(kv: KVCache, accept_idx: jax.Array,
     def one(cache):
         sel = sel0.reshape((1,) * 3 + (max_accept,) + (1,) * (cache.ndim - 4))
         block = jax.lax.dynamic_slice_in_dim(cache, offset, max_span, axis=3)
-        gathered = jnp.take(block, idx, axis=3)
+        # FLAT 2-D row gather, not take(axis=3): a 5-D gather along the
+        # sequence axis makes XLA layout assignment prefer a token-major
+        # cache layout for the WHOLE program, which materialises 2x full
+        # entry-conversion copies of the donated cache (measured: 21.2 GB
+        # vs 12.0 GB for the tree step at 130K, probes/_r3_tree_mem2.py —
+        # the same disease r2 found in the retrieval chunk gather)
+        lead = block.shape[0] * block.shape[1] * block.shape[2]
+        tail = block.shape[4:]
+        rows = block.reshape(lead, max_span, *tail)
+        gathered = rows[:, idx].reshape(
+            block.shape[:3] + (max_accept,) + tail)
         blend = jnp.where(sel, gathered, block[:, :, :, :max_accept])
         return jax.lax.dynamic_update_slice_in_dim(cache, blend, offset,
                                                    axis=3)

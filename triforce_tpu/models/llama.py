@@ -406,9 +406,10 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 
 def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                       rkv: RetrievalCache, kv_seq_len: jnp.ndarray,
-                      budget: int, depths, ancestor_mask, slot_start: int,
+                      budget: int, depths, ancestor_mask, slot_start,
                       kv: Optional[KVCache] = None, ssl: int = 0,
                       mesh=None, shard_seq: bool = False,
+                      staged_len: Optional[int] = None,
                       ) -> Tuple[jnp.ndarray, RetrievalCache,
                                  Optional[KVCache]]:
     """Middle-model forward of one speculation-tree frontier over the tree
@@ -437,8 +438,17 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     cos, sin = rope.cos_sin_tables(cfg)
     positions = kv_seq_len + jnp.asarray(depths, jnp.int32)
     amask = jnp.asarray(ancestor_mask, bool)
-    write0 = jnp.asarray(budget + slot_start, jnp.int32)
-    k_len = jnp.asarray(budget + slot_start, jnp.int32)
+    # static bound of the staged-tree window read by the fast meshless
+    # path; defaults to slot_start when slot_start is a python int (the
+    # unrolled-levels caller)
+    if staged_len is None:
+        assert isinstance(slot_start, int), \
+            "traced slot_start requires an explicit static staged_len"
+        staged_len = slot_start
+    slot_start = jnp.asarray(slot_start, jnp.int32)  # may be TRACED (the
+    # fori-over-levels grow drives every level through ONE compiled body)
+    write0 = budget + slot_start
+    k_len = budget + slot_start
     quant = rkv.quantized
     assert ssl == 0 or kv is not None, "ssl layers need the full cache"
     L = cfg.num_layers
@@ -489,8 +499,8 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
             q = rope.apply_rope(q, cos, sin, positions)
             k_new = rope.apply_rope(k_new, cos, sin, positions)
             ctx = _tree_grow_attention(cfg, q, cache, li, prefix_len,
-                                       staged_start, slot_start, amask,
-                                       k_new, v_new, new_mask)
+                                       staged_start, slot_start, staged_len,
+                                       amask, k_new, v_new, new_mask)
             x = x + _attn_out(ctx, lp)
             h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
             x = x + _mlp(h, lp)
@@ -536,16 +546,18 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 
 
 def _tree_grow_attention(cfg, q, cache, li, prefix_len, staged_start,
-                         slot_start: int, amask, k_new, v_new, new_mask):
+                         slot_start, staged_len: int, amask, k_new, v_new,
+                         new_mask):
     """Meshless grow-level attention, decomposed (round 3):
 
       prefix   — slots [0, prefix_len): FULLY visible, so no mask_fn —
                  zero-copy stacked partials through the Pallas flash-decode
                  kernel when eligible (the masked monolithic form forced
                  the XLA partials path over the whole multi-GB buffer);
-      staged   — slots [staged_start, staged_start + slot_start): the tree
-                 nodes earlier levels committed, visible per the static
-                 ancestor-mask columns;
+      staged   — a STATIC-size window [staged_start, +staged_len) over the
+                 tree region; a column is visible iff already committed
+                 (col < slot_start, which may be traced) and an ancestor
+                 per the mask columns;
       self     — the frontier block (same-level nodes see only themselves).
 
     Exact same visibility set as the previous cache_mask_fn form
@@ -584,21 +596,26 @@ def _tree_grow_attention(cfg, q, cache, li, prefix_len, staged_start,
             k_scale=jnp.take(cache.k_scale, ly, axis=0) if quant else None,
             v_scale=jnp.take(cache.v_scale, ly, axis=0) if quant else None)
 
-    if slot_start > 0:
+    if staged_len > 0:
+        # staged block of STATIC size staged_len starting at the tree
+        # region's base; columns are visible iff they are committed
+        # (col < slot_start, traced) AND tree ancestors (static mask cols)
         zero = jnp.zeros((), jnp.int32)
         st = jnp.asarray(staged_start, jnp.int32)
         idx = (jnp.asarray(li, jnp.int32), zero, zero, st, zero)
-        ks = jax.lax.dynamic_slice(cache.k, idx, (1, b, hkv, slot_start, d))[0]
-        vs = jax.lax.dynamic_slice(cache.v, idx, (1, b, hkv, slot_start, d))[0]
+        ks = jax.lax.dynamic_slice(cache.k, idx, (1, b, hkv, staged_len, d))[0]
+        vs = jax.lax.dynamic_slice(cache.v, idx, (1, b, hkv, staged_len, d))[0]
         if quant:
             idx4 = idx[:4]
             kss = jax.lax.dynamic_slice(cache.k_scale, idx4,
-                                        (1, b, hkv, slot_start))[0]
+                                        (1, b, hkv, staged_len))[0]
             vss = jax.lax.dynamic_slice(cache.v_scale, idx4,
-                                        (1, b, hkv, slot_start))[0]
+                                        (1, b, hkv, staged_len))[0]
             ks = (ks.astype(jnp.float32) * kss[..., None]).astype(q.dtype)
             vs = (vs.astype(jnp.float32) * vss[..., None]).astype(q.dtype)
-        p_staged = new_block_partials(q, ks, vs, amask[:, :slot_start])
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t, staged_len), 1)
+        staged_mask = amask[:, :staged_len] & (cols < slot_start)
+        p_staged = new_block_partials(q, ks, vs, staged_mask)
         p = merge_partials(p, p_staged)
 
     p_self = new_block_partials(q, k_new, v_new, new_mask)

@@ -213,8 +213,11 @@ class TreeEngine:
     def init_state(self, key: jax.Array) -> TreeState:
         kv = init_kv(self.cfg, self.max_cache_len, dtype=self.dtype,
                      quant=self.kv_quant)
+        # pad the tree region by the padded grow width so fixed-width level
+        # writes never clamp back over committed tree slots (_padded_levels)
         rkv = init_tree_retrieval(self.cfg, self.budget, self.gm.size,
-                                  dtype=self.dtype, quant=self.kv_quant)
+                                  dtype=self.dtype, quant=self.kv_quant,
+                                  pad=_padded_levels(self.gm)[0])
         state = TreeState(kv=kv, rkv=rkv,
                           next_token=jnp.zeros((1,), jnp.int32), key=key)
         if self.mesh is not None:
@@ -265,22 +268,79 @@ class TreeEngine:
         return self._step(self.params, state)
 
 
+def _padded_levels(gm: GrowMap):
+    """Pad every grow level to ONE static width so the whole grow phase is
+    a single compiled ``fori_loop`` body (r3: 23 distinct unrolled level
+    programs made the tree executable too large to serialize — 6.6 GB of
+    compiler metadata — and grow is weight-stream-bound, so padding the
+    level width costs ~nothing on TPU). Returns numpy tables
+    (W, K, roots [n,R], widths [n], starts [n], tok_root [n,W],
+    tok_rank [n,W], depth_rows [n,W], mask_rows [n,W,size])."""
+    n = gm.num_levels
+    W = max(int(sum(b)) for b in gm.branches)
+    R = max(len(r) for r in gm.roots)
+    K = max(max(int(x) for x in b) for b in gm.branches if len(b))
+    roots = np.zeros((n, R), np.int32)
+    widths = np.zeros((n,), np.int32)
+    starts = np.zeros((n,), np.int32)
+    tok_root = np.zeros((n, W), np.int32)
+    tok_rank = np.zeros((n, W), np.int32)
+    depth_rows = np.zeros((n, W), np.int32)
+    mask_rows = np.zeros((n, W, gm.size), bool)
+    start = 1
+    for lvl, (rts, brs) in enumerate(zip(gm.roots, gm.branches)):
+        w = int(sum(brs))
+        widths[lvl], starts[lvl] = w, start
+        roots[lvl, :len(rts)] = np.asarray(rts, np.int32)
+        j = 0
+        for ri, br in enumerate(brs):
+            for rk in range(int(br)):
+                tok_root[lvl, j], tok_rank[lvl, j] = ri, rk
+                j += 1
+        depth_rows[lvl, :w] = gm.depth[start:start + w]
+        mask_rows[lvl, :w] = gm.mask[start:start + w]
+        start += w
+    return W, K, roots, widths, starts, tok_root, tok_rank, depth_rows, \
+        mask_rows
+
+
 def _grow(cfg: ModelConfig, gm: GrowMap, budget: int, temp: float,
           ssl: int, mesh, shard_seq, params, state: TreeState):
     """Build the token tree through the middle model
     (reference construct_grow_map / collective_grow_static,
     SpecTree_TP.py:103-144). Layers < ssl attend the full cache (hybrid
     attention, TP_llama_tree.py:405-425) and stage their tree-node KV in
-    it."""
+    it.
+
+    All levels run through ONE ``fori_loop`` body at a padded static width
+    (``_padded_levels``): per level, per-root Gumbel-top-k samples children
+    WITHOUT replacement from softmax(draft_logits / T) — replicated, keyed,
+    no broadcast (reference: offloading_seqouia.py:29-39 rank-0 + bcast) —
+    then one middle forward of the padded frontier. Padded slots carry junk
+    tokens whose KV lands in scratch that later REAL levels overwrite and
+    whose attention columns stay masked (col < slot_start)."""
     vocab = cfg.vocab_size
     size = gm.size
     kv_seq_len = state.kv.seq_len
     key = state.key
     kv = state.kv
 
-    verify_tokens = jnp.full((size,), JUNK_TOKEN, jnp.int32)
+    W, K, roots, widths, starts, tok_root, tok_rank, depth_rows, mask_rows \
+        = _padded_levels(gm)
+    n_levels = len(widths)
+    roots_c = jnp.asarray(roots)
+    widths_c = jnp.asarray(widths)
+    starts_c = jnp.asarray(starts)
+    tok_root_c = jnp.asarray(tok_root)
+    tok_rank_c = jnp.asarray(tok_rank)
+    depth_c = jnp.asarray(depth_rows)
+    mask_c = jnp.asarray(mask_rows)
+
+    # buffers padded by W: the LAST level's padded write overhangs [size,
+    # size + W) and is sliced off
+    verify_tokens = jnp.full((size + W,), JUNK_TOKEN, jnp.int32)
     verify_tokens = verify_tokens.at[0].set(state.next_token[0])
-    draft_logits = jnp.zeros((size, vocab), jnp.float32)
+    draft_logits = jnp.zeros((size + W, vocab), jnp.float32)
 
     logits, rkv, kv = llama.forward_tree_spec(
         cfg, params, state.next_token[None], state.rkv, kv_seq_len, budget,
@@ -288,37 +348,34 @@ def _grow(cfg: ModelConfig, gm: GrowMap, budget: int, temp: float,
         kv=kv, ssl=ssl, mesh=mesh, shard_seq=shard_seq)
     draft_logits = draft_logits.at[0].set(logits[0, 0].astype(jnp.float32))
 
-    start = 1
-    for lvl, (roots, branches) in enumerate(zip(gm.roots, gm.branches)):
-        n_lvl = int(sum(branches))
-        if n_lvl == 0:
-            continue
-        roots_arr = np.asarray(roots, np.int32)
-        max_k = int(max(branches))
-        # per-root Gumbel-top-k = sampling WITHOUT replacement from
-        # softmax(draft_logits / T) — replicated, keyed, no broadcast
-        # (reference: offloading_seqouia.py:29-39 rank-0 + bcast)
+    def body(lvl, c):
+        verify_tokens, draft_logits, rkv, kv, key = c
         key, kg = jax.random.split(key)
-        root_logits = draft_logits[roots_arr] / temp      # [R, V]
+        root_logits = draft_logits[roots_c[lvl]] / temp        # [R, V]
         g = jax.random.gumbel(kg, root_logits.shape, jnp.float32)
-        cand = jax.lax.top_k(root_logits + g, max_k)[1]   # [R, max_k]
-        gather = np.concatenate(
-            [j * max_k + np.arange(br) for j, br in enumerate(branches)]
-        ).astype(np.int32)                                # static, like
-        tokens = cand.reshape(-1)[gather]                 # sample_gather_indices
-        verify_tokens = jax.lax.dynamic_update_slice(
-            verify_tokens, tokens.astype(jnp.int32), (start,))
-
+        cand = jax.lax.top_k(root_logits + g, K)[1]            # [R, K]
+        toks = cand[tok_root_c[lvl], tok_rank_c[lvl]]          # [W]
+        live = jnp.arange(W) < widths_c[lvl]
+        toks = jnp.where(live, toks.astype(jnp.int32),
+                         jnp.int32(JUNK_TOKEN))
+        start = starts_c[lvl]
+        verify_tokens = jax.lax.dynamic_update_slice(verify_tokens, toks,
+                                                     (start,))
         logits, rkv, kv = llama.forward_tree_spec(
-            cfg, params, tokens[None], rkv, kv_seq_len, budget,
-            depths=gm.depth[start:start + n_lvl],
-            ancestor_mask=gm.mask[start:start + n_lvl], slot_start=start,
-            kv=kv, ssl=ssl, mesh=mesh, shard_seq=shard_seq)
+            cfg, params, toks[None], rkv, kv_seq_len, budget,
+            depths=depth_c[lvl], ancestor_mask=mask_c[lvl],
+            slot_start=start, kv=kv, ssl=ssl, mesh=mesh,
+            shard_seq=shard_seq, staged_len=size)
         draft_logits = jax.lax.dynamic_update_slice(
-            draft_logits, logits[0].astype(jnp.float32), (start, 0))
-        start += n_lvl
+            draft_logits, logits[0].astype(jnp.float32),
+            (start, jnp.int32(0)))
+        return verify_tokens, draft_logits, rkv, kv, key
 
-    return verify_tokens, draft_logits, rkv, kv, key
+    verify_tokens, draft_logits, rkv, kv, key = jax.lax.fori_loop(
+        0, n_levels, body,
+        (verify_tokens, draft_logits, rkv, kv, key))
+
+    return verify_tokens[:size], draft_logits[:size], rkv, kv, key
 
 
 def _tree_step(cfg: ModelConfig, gm: GrowMap, budget: int, prefill: int,
