@@ -66,8 +66,9 @@ def build_engine(preset: str, args, with_draft: bool,
         cfg, dcfg = C.BENCH_7B_PROXY, C.LLAMA_68M
         # reference on-chip config: gamma 6, budget 4096, chunk 8,
         # draft_cache_budget 266 -> recent = 266 - 16 - 6 (on_chip.py:77)
-        spec = SpecConfig(gamma=6, budget=4096, chunk_size=8,
-                          draft_start_size=16, draft_recent_size=244,
+        spec = SpecConfig(gamma=args.gamma, budget=4096, chunk_size=8,
+                          draft_start_size=16,
+                          draft_recent_size=250 - args.gamma,
                           temperature=0.6, top_p=0.9,
                           middle_chain=args.chain)
         # reference headline prefill (README.md:51). The proxy's 128K int8
@@ -436,6 +437,9 @@ def main() -> None:
     p.add_argument("--ssl", type=int, default=4,
                    help="tree mode: grow layers < ssl attend the FULL "
                         "cache (reference hybrid attention)")
+    p.add_argument("--gamma", type=int, default=6,
+                   help="drafter lookahead (reference headline config: 6; "
+                        "the r2 sweep measured gamma=8 ~4.5%% better)")
     p.add_argument("--chain", type=int, default=0,
                    help="drafter tokens per middle verify "
                         "(SpecConfig.middle_chain): 0 = auto (gamma), "
