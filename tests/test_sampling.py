@@ -86,3 +86,18 @@ def test_fast_topp_matches_sorted():
             b = np.asarray(top_p_filter_fast(logits, p))
             np.testing.assert_array_equal(a > -1e29, b > -1e29,
                                           err_msg=f"seed={seed} p={p}")
+
+
+def test_topk_small_matches_lax_topk():
+    """Iterative argmax top-k (k reduction passes instead of a full TPU
+    sort) must return exactly lax.top_k's ordered indices for distinct
+    values."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from triforce_tpu.ops import sampling
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (7, 1000))
+    want = jax.lax.top_k(x, 4)[1]
+    got = sampling.topk_small(x, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -129,14 +129,30 @@ def max_fn(x: jnp.ndarray) -> jnp.ndarray:
     return pos / denom
 
 
+def topk_small(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact ordered top-k indices of ``x`` [..., V] for SMALL static k via
+    k argmax-and-mask passes. ``lax.top_k`` lowers to a full bitonic sort
+    on TPU (~10+ ms at [78, 32000] — measured as the dominant cost of a
+    tree grow level, NOTES_ROUND3.md); k reduction passes are ~free.
+    Returns [..., k] indices in descending-value order."""
+    idxs = []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        idxs.append(i)
+        x = jnp.where(jax.nn.one_hot(i, x.shape[-1], dtype=bool), _NEG_INF,
+                      x)
+    return jnp.stack(idxs, axis=-1)
+
+
 def gumbel_topk_without_replacement(key: jax.Array, probs: jnp.ndarray,
                                     k: int) -> jnp.ndarray:
     """Sample ``k`` distinct indices ~ probs without replacement.
 
     reference (tree child sampling): test/offloading_seqouia.py:29-39 uses
     ``(rand.log() / q).topk(k)``; the Gumbel-top-k trick is the standard
-    equivalent: argtop-k of log p + Gumbel noise.
+    equivalent: argtop-k of log p + Gumbel noise (k argmax passes — see
+    ``topk_small``).
     """
     g = jax.random.gumbel(key, probs.shape, dtype=jnp.float32)
     logp = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-37)), _NEG_INF)
-    return jax.lax.top_k(logp + g, k)[1]
+    return topk_small(logp + g, k)

@@ -353,7 +353,9 @@ def _grow(cfg: ModelConfig, gm: GrowMap, budget: int, temp: float,
         key, kg = jax.random.split(key)
         root_logits = draft_logits[roots_c[lvl]] / temp        # [R, V]
         g = jax.random.gumbel(kg, root_logits.shape, jnp.float32)
-        cand = jax.lax.top_k(root_logits + g, K)[1]            # [R, K]
+        # K argmax passes, NOT lax.top_k: top_k sorts the whole vocab on
+        # TPU (~half the measured grow-level cost at [78, 32000])
+        cand = sampling.topk_small(root_logits + g, K)         # [R, K]
         toks = cand[tok_root_c[lvl], tok_rank_c[lvl]]          # [W]
         live = jnp.arange(W) < widths_c[lvl]
         toks = jnp.where(live, toks.astype(jnp.int32),
