@@ -372,11 +372,10 @@ def run_batched(preset: str, args, rows: int = 4):
     streams are the irreducible cost."""
     from triforce_tpu.batched_spec import BatchedSpecEngine
 
-    class A:
-        prefill = 15872 if preset == "7b-proxy" else 64
-        gen_len = None
-        prefill_chunk = args.prefill_chunk
-        kv_dtype = args.kv_dtype
+    import copy
+    A = copy.copy(args)   # same knobs, shorter context: B caches must fit
+    A.prefill = 15872 if preset == "7b-proxy" else 64
+    A.gen_len = None
     steps = 24
 
     engine, prefill, _ = build_engine(preset, A, with_draft=False,
@@ -480,16 +479,20 @@ def main() -> None:
     tree_mode = "tree" in modes
     batched_mode = "batched" in modes
     modes = [m for m in modes if m not in ("tree", "batched")]
-    engine, prefill, gen_len = build_engine(
-        preset, args, with_draft="triforce" in modes,
-        weight_quant=args.weights == "int8")
-    # compile warm-up prefill with ids nobody times
-    _state, _ = timed_prefill(engine, seed=7,
-                              with_draft="triforce" in modes,
-                              label=" warmup(compile)")
-    del _state
-    _settle()
-    results["ar"] = run_ar(engine, gen_len)
+    engine = None
+    if modes or tree_mode:
+        # flat/tree runs need the AR baseline at the preset prefill;
+        # a batched-only run reports B-vs-1 scaling and skips it
+        engine, prefill, gen_len = build_engine(
+            preset, args, with_draft="triforce" in modes,
+            weight_quant=args.weights == "int8")
+        # compile warm-up prefill with ids nobody times
+        _state, _ = timed_prefill(engine, seed=7,
+                                  with_draft="triforce" in modes,
+                                  label=" warmup(compile)")
+        del _state
+        _settle()
+        results["ar"] = run_ar(engine, gen_len)
     for mode in modes:
         _settle()
         results[mode] = run_spec(
@@ -552,9 +555,7 @@ def main() -> None:
                "detail": {"kv_dtype": args.kv_dtype,
                           "weights": args.weights, "alpha": args.alpha,
                           "preset": preset, "backend": backend,
-                          "batched": _round_tree(bt),
-                          "ar": {k: round(v, 4)
-                                 for k, v in results["ar"].items()}}}
+                          "batched": _round_tree(bt)}}
         print(json.dumps(out), flush=True)
         return
     speedup = head["tokens_per_sec"] / results["ar"]["tokens_per_sec"]
