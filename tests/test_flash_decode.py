@@ -362,3 +362,42 @@ def test_custom_vmap_wrapper_unbatched_path():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_batched_kernel_stacked_layer_matches_slab(quant):
+    """flash_decode_append_batched with the STACKED [B, L, ...] caches + a
+    layer index == the same call on the pre-sliced layer slabs (the
+    zero-copy addressing the vmapped model scans rely on; r3 replaced the
+    custom_vmap rule's per-layer slab copies with this path)."""
+    from triforce_tpu.ops.flash_decode import flash_decode_append_batched
+    b, L, hkv, t, s, d = 3, 4, 2, 2, 512, 64
+    layer = 2
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 6)
+    kst = jax.random.normal(ks[0], (b, L, hkv, s, d), jnp.float32)
+    vst = jax.random.normal(ks[1], (b, L, hkv, s, d), jnp.float32)
+    q = jax.random.normal(ks[2], (b, hkv, t, d), jnp.float32)
+    kn = jax.random.normal(ks[3], (b, hkv, t, d), jnp.float32)
+    vn = jax.random.normal(ks[4], (b, hkv, t, d), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    nmask = jnp.broadcast_to(cols <= rows, (b, t, t))
+    klen = jnp.asarray([300, 512, 129], jnp.int32)
+    kw = {}
+    kw_sl = {}
+    if quant:
+        from triforce_tpu.cache import quantize_tokens
+        k8, ksc = quantize_tokens(kst)
+        v8, vsc = quantize_tokens(vst)
+        kst, vst = k8, v8
+        kw = dict(k_scale=ksc, v_scale=vsc)
+        kw_sl = dict(k_scale=ksc[:, layer], v_scale=vsc[:, layer])
+    got = flash_decode_append_batched(
+        q, kst, vst, kn, vn, klen, nmask, block=BLOCK, interpret=True,
+        layer=jnp.int32(layer), **kw)
+    want = flash_decode_append_batched(
+        q, kst[:, layer], vst[:, layer], kn, vn, klen, nmask, block=BLOCK,
+        interpret=True, **kw_sl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

@@ -280,11 +280,14 @@ def _pallas_cv_quant_vmap(axis_size, in_batched, *args):
 # [L,1,Hkv,S,D] cache plus a traced layer index; the kernel DMAs blocks of
 # that layer straight from the stack (no per-layer slab materialisation —
 # probes/_r2_scanxs.py measured the slab copy at ~2x the kernel's own
-# bandwidth cost). Under vmap the rule slices the layer and delegates to
-# the row-batched rule (the slice copy returns, but batched rows at batched
-# contexts are short — and correctness is preserved).
+# bandwidth cost). Under vmap the rule feeds the row-batched kernel the
+# stacked [B, L, ...] caches directly (grid (B, nb), layer via scalar
+# prefetch) — r3: the earlier slice-the-layer delegation materialised a
+# per-layer slab COPY of every row's cache per call, which dominated the
+# measured batched step on hardware.
 
 def _cv_rule_stacked(quant, axis_size, in_batched, *args):
+    from .flash_decode import flash_decode_append_batched, _pick_block
     if quant:
         (q, k_st, v_st, k_new, v_new, k_len, new_mask, layer, ks_st,
          vs_st) = args
@@ -295,20 +298,38 @@ def _cv_rule_stacked(quant, axis_size, in_batched, *args):
         ks_st = vs_st = None
     ly = layer[0] if lyb else layer  # rows share the layer index (scan)
 
-    def sel(stack, bat):
-        if stack is None:
+    def ensure(x, bat):
+        if x is None:
             return None
-        # batched stack: [B, L, 1, ...]; unbatched: [L, 1, ...]
-        axis = 1 if bat else 0
-        return jnp.take(stack, ly, axis=axis)
+        return x if bat else jnp.broadcast_to(x[None],
+                                              (axis_size,) + x.shape)
 
-    k_l, v_l = sel(k_st, kb), sel(v_st, vb)
-    sub_args = (q, k_l, v_l, k_new, v_new, k_len, new_mask)
-    sub_bat = (qb, kb, vb, knb, vnb, klb, nmb)
-    if quant:
-        sub_args += (sel(ks_st, ksb), sel(vs_st, vsb))
-        sub_bat += (ksb, vsb)
-    return _cv_rule(quant, axis_size, sub_bat, *sub_args)
+    # per-row leaves -> [B, ...]; the stacked caches keep their layer axis:
+    # [B, L, 1, Hkv, S, D] -> [B, L, Hkv, S, D]
+    q = ensure(q, qb)
+    k_st, v_st = ensure(k_st, kb), ensure(v_st, vb)
+    k_new, v_new = ensure(k_new, knb), ensure(v_new, vnb)
+    k_len = ensure(k_len, klb)
+    new_mask = ensure(new_mask, nmb)
+    bsz, _, hq, t, d = q.shape
+    hkv, s = k_st.shape[3], k_st.shape[4]
+    g = hq // hkv
+    tn = k_new.shape[3]
+    tn_pad = -(-tn // 128) * 128
+    block = _pick_block(s, hkv, d, g * t, tn_pad, quant=quant)
+    qh = q.reshape(bsz, hq, t, d).reshape(bsz, hkv, g * t, d)
+    nmask = jnp.tile(new_mask.reshape(bsz, t, tn), (1, g, 1))
+    out = flash_decode_append_batched(
+        qh, k_st.reshape(bsz, -1, hkv, s, d), v_st.reshape(bsz, -1, hkv, s, d),
+        k_new.reshape(bsz, hkv, tn, d), v_new.reshape(bsz, hkv, tn, d),
+        k_len.reshape(bsz), nmask, block=block,
+        k_scale=None if ks_st is None
+        else ensure(ks_st, ksb).reshape(bsz, -1, hkv, s),
+        v_scale=None if vs_st is None
+        else ensure(vs_st, vsb).reshape(bsz, -1, hkv, s),
+        layer=ly)
+    out = out.reshape(bsz, 1, hq, t, d).astype(q.dtype)
+    return out, True
 
 
 @jax.custom_batching.custom_vmap

@@ -414,13 +414,19 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
     )(*args)
 
 
-def _kernel_batched(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
-                    block: int, quant: bool):
+def _kernel_batched(klen_ref, *rest, block: int, quant: bool,
+                    stacked: bool = False):
     """Row-batched ``_kernel``: grid (B, nb) — row-major, so the sequential
     inner dimension walks one row's sequence blocks while the online-softmax
     scratch is (re)initialised at i == 0 of every row. Each row has its own
     live length (``klen_ref`` is the whole [B] vector via scalar prefetch).
-    Refs carry a leading singleton row dim from the (1, ...) block specs."""
+    Refs carry a leading singleton row dim from the (1, ...) block specs.
+    ``stacked``: caches are [B, L, ...] and a second prefetch scalar holds
+    the (row-shared) layer index — consumed by the index maps; the kernel
+    body only needs to skip over its ref."""
+    if stacked:
+        _ly_ref, rest = rest[0], rest[1:]
+    q_ref, kn_ref, vn_ref, bias_ref, *refs = rest
     if quant:
         (qs_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_sc, l_sc,
          acc_sc) = refs
@@ -467,14 +473,22 @@ def _kernel_batched(klen_ref, q_ref, kn_ref, vn_ref, bias_ref, *refs,
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def flash_decode_append_batched(q, k, v, k_new, v_new, k_len, new_mask,
                                 block: int = 512, interpret: bool = False,
-                                k_scale=None, v_scale=None):
+                                k_scale=None, v_scale=None, layer=None):
     """Row-batched fused decode attention (batched speculation / continuous
     batching): q [B, Hkv, GT, D]; k/v [B, Hkv, S, D] (S % block == 0);
     k_new/v_new [B, Hkv, Tn, D]; new_mask [B, GT, Tn] bool; k_len [B] traced
     i32. -> [B, Hkv, GT, D] fp32. One pallas_call, grid (B, nb): every row
-    streams exactly its own live prefix."""
+    streams exactly its own live prefix.
+
+    ``layer`` (traced i32, optional): k/v are the WHOLE stacked
+    [B, L, Hkv, S, D] caches (scales [B, L, Hkv, S]) and blocks DMA
+    straight from layer ``layer`` of each row — zero-copy layer addressing
+    for the vmapped model scans (without it the custom_vmap rule had to
+    materialise a per-layer slab COPY of every row's cache per call,
+    measured as the bulk of the batched step on hardware, r3)."""
+    stacked = layer is not None
     bsz, hkv, gt, d = q.shape
-    s = k.shape[2]
+    s = k.shape[3] if stacked else k.shape[2]
     tn = k_new.shape[2]
     assert s % block == 0, (s, block)
     scale = 1.0 / math.sqrt(d)
@@ -488,30 +502,44 @@ def flash_decode_append_batched(q, k, v, k_new, v_new, k_len, new_mask,
         new_mask = jnp.pad(new_mask, [(0, 0), (0, 0), (0, tn_pad - tn)])
         tn = tn_pad
 
-    def kv_index(b, i, klen_ref):
+    def clamp(b, i, klen_ref):
         last = jnp.maximum(pl.cdiv(klen_ref[b], block) - 1, 0)
-        return (b, 0, jnp.minimum(i, last), 0)
+        return jnp.minimum(i, last)
+
+    if stacked:
+        def kv_index(b, i, kl, ly):
+            return (b, ly[0], 0, clamp(b, i, kl), 0)
+
+        def sc_index(b, i, kl, ly):
+            return (b, ly[0], 0, clamp(b, i, kl))
+        kv_shape = (1, None, hkv, block, d)
+        sc_shape = (1, None, hkv, block)
+    else:
+        def kv_index(b, i, kl):
+            return (b, 0, clamp(b, i, kl), 0)
+
+        def sc_index(b, i, kl):
+            return (b, 0, clamp(b, i, kl))
+        kv_shape = (1, hkv, block, d)
+        sc_shape = (1, hkv, block)
 
     quant = k_scale is not None
-    kernel = functools.partial(_kernel_batched, block=block, quant=quant)
+    kernel = functools.partial(_kernel_batched, block=block, quant=quant,
+                               stacked=stacked)
     row = lambda b, i, *_: (b, 0, 0, 0)
     row3 = lambda b, i, *_: (b, 0, 0)
     kv_specs = ([pl.BlockSpec((1, hkv, gt), row3, memory_space=pltpu.VMEM)]
                 if quant else []) + [
-        pl.BlockSpec((1, hkv, block, d), kv_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hkv, block, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(kv_shape, kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(kv_shape, kv_index, memory_space=pltpu.VMEM),
     ]
     if quant:
         kv_specs += [
-            pl.BlockSpec((1, hkv, block),
-                         lambda b, i, kl: kv_index(b, i, kl)[:3],
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, block),
-                         lambda b, i, kl: kv_index(b, i, kl)[:3],
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sc_shape, sc_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sc_shape, sc_index, memory_space=pltpu.VMEM),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if stacked else 1,
         grid=(bsz, nb_max),
         in_specs=[
             pl.BlockSpec((1, hkv, gt, d), row, memory_space=pltpu.VMEM),
@@ -528,14 +556,17 @@ def flash_decode_append_batched(q, k, v, k_new, v_new, k_len, new_mask,
         ],
     )
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    args = [jnp.asarray(k_len, jnp.int32).reshape(bsz), q, k_new, v_new,
-            jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32)]
+    args = [jnp.asarray(k_len, jnp.int32).reshape(bsz)]
+    if stacked:
+        args += [jnp.asarray(layer, jnp.int32).reshape(1)]
+    args += [q, k_new, v_new,
+             jnp.where(new_mask, 0.0, _NEG_INF).astype(jnp.float32)]
     if quant:
         qf = q.astype(jnp.float32)
         qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1) / 127.0, 1e-20)
         q8 = jnp.clip(jnp.round(qf / qs[..., None]), -127, 127
                       ).astype(jnp.int8)
-        args[1] = q8
+        args[2 if stacked else 1] = q8
         args += [qs.astype(jnp.float32)]
     args += [k, v]
     if quant:
