@@ -253,14 +253,25 @@ def run_spec(engine, gen_len, mode, alphas, with_draft,
                 lo = coin
             else:
                 hi = coin
-        # timed run at the calibrated coin
-        state, n, counters, dt = _timed_generation(
-            lambda s: engine.generate_forced(s, gen_len, coin, mode=mode),
-            state, gen_len, warm=False)
-        gen, steps = n - 1, int(counters[0])
+        # timed measurement at the calibrated coin, aggregated over 3
+        # chained runs: a single 128-token run holds ~140 proposals, whose
+        # realized-acceptance noise once produced a fluke realized=1.0 row
+        # (gamma=8 r3 run) — aggregate the timing AND the acceptance
+        gen = steps = acc = prop = 0
+        dt = 0.0
+        for _r in range(3):
+            state, n, counters, dt_r = _timed_generation(
+                lambda s: engine.generate_forced(s, gen_len, coin,
+                                                 mode=mode),
+                state, gen_len, warm=False)
+            gen += n - 1
+            steps += int(counters[0])
+            acc += int(counters[1])
+            prop += int(counters[2])
+            dt += dt_r
         res["calibrated"] = {
             "target_accept": target, "coin": round(coin, 4),
-            "measured_accept": int(counters[1]) / max(int(counters[2]), 1),
+            "measured_accept": acc / max(prop, 1),
             "tokens_per_sec": gen / dt,
             "ms_per_token": 1e3 * dt / max(gen, 1),
             "tokens_per_step": gen / max(steps, 1),
