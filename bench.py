@@ -234,7 +234,7 @@ def run_spec(engine, gen_len, mode, alphas, with_draft,
         # ~400+ proposals -> sigma ~ 0.02.
         lo, hi = target, 0.9995
         coin = realized = None
-        for _ in range(4):
+        for _ in range(6):
             coin = 0.5 * (lo + hi)
             acc = prop = 0
             for _r in range(3):
