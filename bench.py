@@ -380,7 +380,12 @@ def run_batched(preset: str, args, rows: int = 4):
     throughput of B rows speculating together in one program vs one row,
     at a context where B caches fit one chip's HBM. Decode is
     bandwidth-bound, so rows share every weight read; the per-row KV
-    streams are the irreducible cost."""
+    streams are the irreducible cost. Runs the TRIFORCE schedule (chain
+    drafting): the retrieval schedule reads the full per-row budget gamma
+    times per step, which caps batched scaling at ~2.3x regardless of B
+    (probes/_r3_batched_small.py + round3_batched_hw model); the 3-level
+    hierarchy's ~1.4 middle verifies/step leave the shared weight stream
+    dominant."""
     from triforce_tpu.batched_spec import BatchedSpecEngine
 
     import copy
@@ -389,11 +394,12 @@ def run_batched(preset: str, args, rows: int = 4):
     A.gen_len = None
     steps = 24
 
-    engine, prefill, _ = build_engine(preset, A, with_draft=False,
+    engine, prefill, _ = build_engine(preset, A, with_draft=True,
                                       weight_quant=args.weights == "int8")
-    res = {"rows": rows, "prefill": prefill, "steps": steps}
+    res = {"rows": rows, "prefill": prefill, "steps": steps,
+           "mode": "triforce"}
     for b in (1, rows):
-        bat = BatchedSpecEngine(engine, mode="retrieval",
+        bat = BatchedSpecEngine(engine, mode="triforce",
                                 force_accept=args.alpha, donate=True)
         prompts = [make_ids(engine, 40 + i)[:, :prefill] for i in range(b)]
         st = bat.prefill_rows(prompts, list(range(b)))
