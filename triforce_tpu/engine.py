@@ -555,7 +555,7 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         # reject: sample directly from that position's middle distribution
         # — no residual at the middle level (SURVEY §2.3)
         res = sampling.sample(
-            kas[k], jnp.take(p_rows, j_rej, axis=0)).astype(jnp.int32)
+            kas[1], jnp.take(p_rows, j_rej, axis=0)).astype(jnp.int32)
         final_toks = jnp.where((js == j_rej) & any_rej, res, chain_toks)
 
         # commit consumed positions: tokens and their middle rows (the
