@@ -101,3 +101,20 @@ def test_topk_small_matches_lax_topk():
     want = jax.lax.top_k(x, 4)[1]
     got = sampling.topk_small(x, 4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_topk_small_distinct_on_tiny_support():
+    """Support smaller than k must still yield k DISTINCT indices (like
+    lax.top_k): review r3 found argmax-and-mask re-picked index 0 because
+    the mask value equaled the zero-prob sentinel, inflating the planner's
+    measured branch-acceptance vector."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from triforce_tpu.ops import sampling
+
+    probs = jnp.asarray([[0.7, 0.3, 0.0, 0.0, 0.0, 0.0]])
+    idx = np.asarray(sampling.gumbel_topk_without_replacement(
+        jax.random.PRNGKey(0), probs, 4))[0]
+    assert len(set(idx.tolist())) == 4, idx
+    assert set(idx[:2].tolist()) == {0, 1}

@@ -563,19 +563,15 @@ def _tree_grow_attention(cfg, q, cache, li, prefix_len, staged_start,
     Exact same visibility set as the previous cache_mask_fn form
     (mask_from in the sharded branch), associatively merged partials.
     """
-    import os
-    from ..ops.attention import _PALLAS_DISABLED
+    from ..ops.attention import pallas_decode_eligible
     quant = cache.quantized
     b, hq, t, d = q.shape
     L, _, hkv, s = cache.k.shape[:4]
     g = hq // hkv
     gt = g * t
 
-    use_pallas = (
-        b == 1 and s % 512 == 0 and s >= 2048 and gt <= 128
-        and jax.default_backend() == "tpu"
-        and not _PALLAS_DISABLED[0]
-        and not os.environ.get("TRIFORCE_NO_PALLAS"))
+    use_pallas = pallas_decode_eligible(b, s, gt,
+                                        warn_context="tree grow prefix")
     if use_pallas:
         from ..ops.flash_decode import flash_decode_partials, _pick_block
         block = _pick_block(s, hkv, d, gt, 0, quant=quant)

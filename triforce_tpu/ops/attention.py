@@ -360,6 +360,30 @@ def _pallas_cv_quant_stacked_vmap(axis_size, in_batched, *args):
     return _cv_rule_stacked(True, axis_size, in_batched, *args)
 
 
+def pallas_decode_eligible(b: int, s: int, gt: int,
+                           warn_context: str = "") -> bool:
+    """THE flash-decode kernel admission gate (single source of truth —
+    review r3 found three drifting copies): B=1 per call, cache length
+    512-aligned and >= 2048, per-head query rows gt <= 128 (the measured
+    crossover vs the XLA partials path sits between 128 and 256,
+    probes/_r2_gt_crossover.py), TPU backend, not disabled. When
+    ``warn_context`` is set and a decode-shaped call misses ONLY the
+    alignment/batch conditions, warn once per trace instead of silently
+    degrading (~10x decode bandwidth at stake)."""
+    import os
+    enabled = (jax.default_backend() == "tpu" and not _PALLAS_DISABLED[0]
+               and not os.environ.get("TRIFORCE_NO_PALLAS"))
+    ok = (enabled and b == 1 and s % 512 == 0 and s >= 2048 and gt <= 128)
+    if (not ok and enabled and warn_context and gt <= 128 and s >= 2048
+            and (s % 512 != 0 or b != 1)):
+        import warnings
+        warnings.warn(
+            f"flash-decode kernel skipped in {warn_context} (cache len {s} "
+            f"% 512 != 0 or batch {b} != 1); falling back to the XLA path",
+            stacklevel=3)
+    return ok
+
+
 def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
                           cache_mask_fn=None, new_mask=None,
                           block: int = 2048, k_scale=None,
@@ -382,31 +406,11 @@ def append_attention_auto(q, k_cache, v_cache, k_new, v_new, *, k_len,
     else:
         batch, hkv, s = k_cache.shape[0], k_cache.shape[1], k_cache.shape[2]
     gt = q.shape[1] * q.shape[2] // hkv  # per-head rows G*T
-    use_pallas = (
-        cache_mask_fn is None and q.shape[0] == 1 and batch == 1
-        and s % 512 == 0 and s >= 2048
-        and gt <= 128  # decode/verify/tree shapes only. Prefill chunks
-                       # (gt >= 256) measured FASTER on the XLA partials
-                       # path: 63.5K end-to-end prefill 5.5 s XLA vs 10.6 s
-                       # through the kernel (probes/_r2_prefill.py), and the
-                       # isolated crossover sits between gt=128 and 256
-                       # (probes/_r2_gt_crossover.py)
-        and jax.default_backend() == "tpu"
-        and not _PALLAS_DISABLED[0]
-        and not os.environ.get("TRIFORCE_NO_PALLAS"))
-    if (not use_pallas and jax.default_backend() == "tpu"
-            and not _PALLAS_DISABLED[0]
-            and not os.environ.get("TRIFORCE_NO_PALLAS")
-            and cache_mask_fn is None and gt <= 128 and s >= 2048
-            and (s % 512 != 0 or q.shape[0] != 1)):
-        # a decode-shaped call lost the kernel to a mis-padded cache length
-        # or batch > 1 — ~10x decode bandwidth at stake; say so once per
-        # trace instead of silently degrading
-        import warnings
-        warnings.warn(
-            f"flash-decode kernel skipped (cache len {s} % 512 != 0 or "
-            f"batch {q.shape[0]} != 1); falling back to the XLA path",
-            stacklevel=2)
+    use_pallas = (cache_mask_fn is None
+                  and pallas_decode_eligible(
+                      max(q.shape[0], batch), s, gt,
+                      warn_context="append_attention_auto"
+                      if cache_mask_fn is None else ""))
     if use_pallas:
         # go through the custom_vmap wrappers: called plain they ARE
         # append_attention_pallas; called under jax.vmap (batched

@@ -136,10 +136,15 @@ def topk_small(x: jnp.ndarray, k: int) -> jnp.ndarray:
     tree grow level, NOTES_ROUND3.md); k reduction passes are ~free.
     Returns [..., k] indices in descending-value order."""
     idxs = []
+    x = jnp.maximum(x, _NEG_INF)  # inputs may sit AT the sentinel already
     for _ in range(k):
         i = jnp.argmax(x, axis=-1)
         idxs.append(i)
-        x = jnp.where(jax.nn.one_hot(i, x.shape[-1], dtype=bool), _NEG_INF,
+        # mask with -inf, strictly BELOW the _NEG_INF sentinel zero-prob
+        # entries sit at: masking with the sentinel itself made argmax
+        # re-pick index 0 whenever the support was smaller than k
+        # (duplicate indices; lax.top_k always returned distinct ones)
+        x = jnp.where(jax.nn.one_hot(i, x.shape[-1], dtype=bool), -jnp.inf,
                       x)
     return jnp.stack(idxs, axis=-1)
 

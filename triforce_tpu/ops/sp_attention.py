@@ -35,14 +35,10 @@ from .attention import (attention_partials, new_block_partials,
 
 
 def _pallas_ok(b: int, s_loc: int, gt: int) -> bool:
-    from .attention import _PALLAS_DISABLED
-    # same admission as the unsharded path (attention.py): kernel up to
-    # gt=128 (measured crossover vs XLA partials sits between 128 and 256),
-    # honoring the pallas_disabled() escape hatch
-    return (b == 1 and s_loc % 512 == 0 and s_loc >= 2048 and gt <= 128
-            and jax.default_backend() == "tpu"
-            and not _PALLAS_DISABLED[0]
-            and not os.environ.get("TRIFORCE_NO_PALLAS"))
+    # one shared admission gate (attention.pallas_decode_eligible)
+    from .attention import pallas_decode_eligible
+    return pallas_decode_eligible(b, s_loc, gt,
+                                  warn_context="sharded attention")
 
 
 def _cache_partials_local(q, k, v, k_len, ks, vs, mask_fn=None,

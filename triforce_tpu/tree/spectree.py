@@ -79,8 +79,21 @@ class TreeEngine:
         pad_unit = (4096 if kv_quant else 512) if on_tpu else 1
         if mesh is not None and shard_seq:
             pad_unit *= mesh.shape["sp"]
+        # ssl hybrid grow commits PADDED-width level blocks into the full
+        # cache at kv_seq_len + slot_start: reserve the padded grow width W
+        # past the tree region so the last levels' fixed-width writes never
+        # clamp back over committed KV (same hazard the rkv pad fixes)
+        self._grow_pad = _padded_levels(grow_map)[0]
+        max_cache_len += grow_map.size + self._grow_pad
         max_cache_len = -(-max_cache_len // pad_unit) * pad_unit
         self.max_cache_len = max_cache_len
+        # tree retrieval cache: pad by W for the same clamp hazard, THEN
+        # round the total to the Pallas alignment — an unaligned length
+        # silently forfeits the kernel fast-prefix grow path (review r3)
+        rkv_pad = self._grow_pad
+        if on_tpu:
+            rkv_pad += (-(budget + grow_map.size + rkv_pad)) % 512
+        self._rkv_pad = rkv_pad
         self.budget = budget
         self.chunk_size = chunk_size
         self.temperature = temperature
@@ -213,11 +226,12 @@ class TreeEngine:
     def init_state(self, key: jax.Array) -> TreeState:
         kv = init_kv(self.cfg, self.max_cache_len, dtype=self.dtype,
                      quant=self.kv_quant)
-        # pad the tree region by the padded grow width so fixed-width level
-        # writes never clamp back over committed tree slots (_padded_levels)
+        # pad the tree region by the padded grow width (fixed-width level
+        # writes must never clamp back over committed tree slots) and to
+        # the kernel's 512-alignment (see __init__)
         rkv = init_tree_retrieval(self.cfg, self.budget, self.gm.size,
                                   dtype=self.dtype, quant=self.kv_quant,
-                                  pad=_padded_levels(self.gm)[0])
+                                  pad=self._rkv_pad)
         state = TreeState(kv=kv, rkv=rkv,
                           next_token=jnp.zeros((1,), jnp.int32), key=key)
         if self.mesh is not None:
