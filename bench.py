@@ -53,12 +53,13 @@ def build_engine(preset: str, args, with_draft: bool,
     from triforce_tpu.models import llama
     import jax
 
+    trips = getattr(args, "trips", 0)
     if preset == "tiny":
         cfg, dcfg = C.TINY_TARGET, C.TINY_DRAFT
         spec = SpecConfig(gamma=3, budget=16, chunk_size=4,
                           draft_start_size=4, draft_recent_size=12,
                           temperature=0.6, top_p=0.9,
-                          middle_chain=args.chain)
+                          middle_chain=args.chain, middle_trips=trips)
         prefill = args.prefill or 64
         gen_len = args.gen_len or 32
         dtype = jnp.float32
@@ -70,7 +71,7 @@ def build_engine(preset: str, args, with_draft: bool,
                           draft_start_size=16,
                           draft_recent_size=250 - args.gamma,
                           temperature=0.6, top_p=0.9,
-                          middle_chain=args.chain)
+                          middle_chain=args.chain, middle_trips=trips)
         # reference headline prefill (README.md:51). The proxy's 128K int8
         # cache is ~8.6 GB incl. scale planes — fits the 16 GB chip with
         # the donated single-cache-set discipline (HBM accounting in
@@ -393,6 +394,13 @@ def run_batched(preset: str, args, rows: int = 4):
     A.prefill = 15872 if preset == "7b-proxy" else 64
     A.gen_len = None
     steps = 24
+    if A.trips == 0:
+        # lockstep middle loop for batched rows: the vmapped while_loop pays
+        # the MAX trip count over rows every step (r3 finding: B=4 scaling
+        # 1.07x vs ~2.3x model ceiling). One chain round + one retry covers
+        # a mid-chain rejection.
+        k = max(1, min(A.chain if A.chain > 0 else A.gamma, A.gamma))
+        A.trips = -(-A.gamma // (k + 1)) + 1
 
     engine, prefill, _ = build_engine(preset, A, with_draft=True,
                                       weight_quant=args.weights == "int8")
@@ -456,6 +464,12 @@ def main() -> None:
     p.add_argument("--gamma", type=int, default=6,
                    help="drafter lookahead (reference headline config: 6; "
                         "the r2 sweep measured gamma=8 ~4.5%% better)")
+    p.add_argument("--trips", type=int, default=0,
+                   help="middle-loop trip bound (SpecConfig.middle_trips): "
+                        "0 = data-dependent while_loop (flat default). "
+                        "Batched runs auto-pick ceil(gamma/(chain+1))+1 so "
+                        "vmapped rows run in lockstep instead of paying the "
+                        "max trip count over the batch")
     p.add_argument("--chain", type=int, default=0,
                    help="drafter tokens per middle verify "
                         "(SpecConfig.middle_chain): 0 = auto (gamma), "

@@ -141,6 +141,80 @@ def test_batched_forced_acceptance():
     assert (counters[:, 0] == counters[:, 1]).all() and counters[:, 1].all()
 
 
+def test_fixed_trip_middle_loop_batched_equals_single():
+    """middle_trips > 0 (lockstep batched middle loop): the fori-loop form
+    must still match batched-vs-single bit equality, and a trip-exhausted
+    row legitimately proposes fewer than gamma tokens (gamma2 < gamma is a
+    valid outer-verify input)."""
+    import dataclasses
+    tcfg, dcfg = C.TINY_TARGET, C.TINY_DRAFT
+    spec = dataclasses.replace(SPEC, middle_chain=2, middle_trips=2)
+    t_params = llama.init_params(jax.random.PRNGKey(0), tcfg,
+                                 dtype=jnp.float32)
+    d_params = llama.init_params(jax.random.PRNGKey(1), dcfg,
+                                 dtype=jnp.float32)
+    eng = Engine(tcfg, spec, t_params, draft_cfg=dcfg, draft_params=d_params,
+                 prefill=PREFILL, max_cache_len=PREFILL + 32,
+                 dtype=jnp.float32, prefill_chunk=16, draft_prefill_chunk=8,
+                 donate=False)
+    prompts = _prompts()
+    seeds = [11, 22, 33]
+
+    ref_tokens, ref_states = [], []
+    for ids, seed in zip(prompts, seeds):
+        st = eng.init_state(jax.random.PRNGKey(seed))
+        st = eng.prefill_target(st, ids)
+        st = eng.prefill_draft(st, ids)
+        ref_states.append(st)
+        toks = []
+        for _ in range(3):
+            st, stats = eng.triforce_step(st)
+            g2 = int(stats.gamma2)
+            # trips=2 at chain=2: at most 2*(2+1) = 6 > gamma proposals, at
+            # least 2 per step; never more than gamma+1
+            assert 1 <= g2 <= SPEC.gamma + 1
+            toks.append((np.asarray(stats.tokens), int(stats.n_emitted)))
+        ref_tokens.append(toks)
+
+    bat = BatchedSpecEngine(eng, mode="triforce", donate=False)
+    state = stack_states(ref_states)
+    for step_i in range(3):
+        state, stats = bat.step(state)
+        for row in range(B):
+            want_toks, want_n = ref_tokens[row][step_i]
+            np.testing.assert_array_equal(
+                np.asarray(stats.tokens)[row], want_toks,
+                err_msg=f"row={row} step={step_i}")
+            assert int(stats.n_emitted[row]) == want_n
+
+
+def test_fixed_trip_forced_full_acceptance_matches_while_loop_rate():
+    """At force_accept=1.0 one trip of chain=gamma consumes gamma proposals
+    + the middle bonus, so trips=1 reaches gamma+1 exactly — the fixed-trip
+    program must emit the while_loop form's gamma+2 tokens per step (gamma+1
+    accepted proposals + the outer bonus)."""
+    import dataclasses
+    tcfg, dcfg = C.TINY_TARGET, C.TINY_DRAFT
+    t_params = llama.init_params(jax.random.PRNGKey(0), tcfg,
+                                 dtype=jnp.float32)
+    d_params = llama.init_params(jax.random.PRNGKey(1), dcfg,
+                                 dtype=jnp.float32)
+    ns_by_trips = {}
+    for trips in (0, 1):
+        spec = dataclasses.replace(SPEC, middle_chain=3, middle_trips=trips)
+        eng = Engine(tcfg, spec, t_params, draft_cfg=dcfg,
+                     draft_params=d_params, prefill=PREFILL,
+                     max_cache_len=PREFILL + 32, dtype=jnp.float32,
+                     prefill_chunk=16, draft_prefill_chunk=8, donate=False)
+        bat = BatchedSpecEngine(eng, mode="triforce", donate=False,
+                                force_accept=1.0)
+        st = bat.prefill_rows(_prompts(), [4, 5, 6])
+        _, toks, ns, counters = bat.decode(st, steps=2)
+        ns_by_trips[trips] = np.asarray(ns)
+    assert (ns_by_trips[1] == SPEC.gamma + 2).all()
+    np.testing.assert_array_equal(ns_by_trips[1], ns_by_trips[0])
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 @pytest.mark.parametrize("mode", ["retrieval", "triforce"])
 def test_dp_sharded_rows_equal_unsharded(mode):

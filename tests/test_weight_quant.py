@@ -40,6 +40,32 @@ def test_quantized_logits_close():
     assert agree >= 0.9, agree
 
 
+def test_dequant_weights_bitwise_identical():
+    """dequant_weights pre-converts int8 codes exactly (int8->float is
+    lossless) and keeps the output-side scales, so forwards over the result
+    are BITWISE identical to the fused-convert int8 path — the wide-forward
+    speed fix (tree grow / prefill scans) must not change numerics."""
+    params = llama.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    qparams = llama.quantize_weights(params)
+    dparams = llama.dequant_weights(qparams, dtype=jnp.float32)
+    assert dparams["layers"]["wq"].dtype == jnp.float32
+    assert "wq_scale" in dparams["layers"]
+    assert dparams["lm_head"].dtype == jnp.float32
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 24), 0,
+                             CFG.vocab_size)
+    kv0 = init_kv(CFG, max_len=32, dtype=jnp.float32)
+    ref, kv_ref, _ = llama.forward_append(CFG, qparams, ids, kv0)
+    kv1 = init_kv(CFG, max_len=32, dtype=jnp.float32)
+    got, kv_got, _ = llama.forward_append(CFG, dparams, ids, kv1)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    np.testing.assert_array_equal(np.asarray(kv_ref.k), np.asarray(kv_got.k))
+
+    # non-quantized params pass through dequant_weights unchanged
+    same = llama.dequant_weights(params, dtype=jnp.float32)
+    assert same["layers"]["wq"] is params["layers"]["wq"]
+
+
 def test_engine_weight_quant_decodes():
     spec = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
                       draft_recent_size=12, temperature=0.6, top_p=0.9)

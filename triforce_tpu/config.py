@@ -76,6 +76,16 @@ class SpecConfig:
     # drafter forward is ~10x cheaper, so fewer verifies per step is the
     # dominant decode-latency lever at int8 weights (NOTES_ROUND3.md).
     middle_chain: int = 1
+    # middle-loop trip bound: 0 = loop until gamma proposals (data-dependent
+    # lax.while_loop — free on one row). Under BATCHED speculation the
+    # vmapped while_loop runs the MAX trip count over all rows every step
+    # (one unlucky row stalls the batch); a small fixed trip count runs rows
+    # in lockstep — a row whose chains truncate simply proposes fewer than
+    # gamma tokens to the target that step (gamma2 is data-dependent
+    # downstream anyway), bounding step latency at a small tokens-per-step
+    # cost. ceil(gamma / (middle_chain+1)) + 1 covers one mid-chain
+    # rejection; BatchedSpecEngine defaults to that when this is 0.
+    middle_trips: int = 0
     draft_start_size: int = 16    # StreamingLLM sink
     draft_recent_size: int = 250  # StreamingLLM window
     temperature: float = 0.6

@@ -193,6 +193,12 @@ class Engine:
 
         # --- whole-prefill scan: one XLA program for all full chunks -------
         def _prefill_scan(params, chunks, kv):
+            # wide prefill chunks re-materialise the int8->bf16 weight
+            # convert per matmul; one exact pre-conversion serves the whole
+            # scan (llama.dequant_weights). Decode programs keep the fused
+            # int8 path — narrow forwards are weight-READ-bound
+            params = llama.dequant_weights(params, dtype)
+
             def sbody(kv, ids):
                 _, kv, _ = llama.forward_append(cfg, params, ids, kv,
                                                 need_logits=False,
@@ -578,8 +584,11 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         tested = c["mid_draft"] + used
 
         # --- bonus on a fully accepted chain (decoding.py:201-209): sample
-        # from the middle row AFTER the last accepted token (= row n - n0)
-        bonus_ok = ~any_rej & (n <= gamma)
+        # from the middle row AFTER the last accepted token (= row n - n0).
+        # n0 < gamma guard: a no-op under the while_loop (its cond), but the
+        # fixed-trip fori runs DEAD trips after a row finishes — without it
+        # a dead trip at n0 == gamma would re-sample the bonus slot
+        bonus_ok = ~any_rej & (n <= gamma) & (n0 < gamma)
         b_row = jnp.take(p_rows, jnp.clip(n - n0, 0, k), axis=0)
         b_tok = sampling.sample(kas[0], b_row).astype(jnp.int32)
         upd_t = jax.lax.dynamic_update_slice(gen_tokens, b_tok[None], (n,))
@@ -595,7 +604,16 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
     init = {"n": jnp.int32(0), "gen_tokens": gen_tokens0,
             "gen_probs": gen_probs0, "key": state.key,
             "mid_draft": jnp.int32(0), "mid_accept": jnp.int32(0)}
-    out = jax.lax.while_loop(cond, body, init)
+    if sp.middle_trips > 0:
+        # fixed trip count: rows of a vmapped batch run in LOCKSTEP (the
+        # batched while_loop pays the max trip count over rows every step);
+        # a row that exhausts its trips proposes n < gamma tokens — the
+        # outer verify already handles any gamma2 (live = pos < gamma2).
+        # Dead trips (n0 >= gamma) draft nothing and commit nothing.
+        out = jax.lax.fori_loop(0, sp.middle_trips, lambda t, c: body(c),
+                                init)
+    else:
+        out = jax.lax.while_loop(cond, body, init)
     return out
 
 

@@ -98,13 +98,18 @@ def _wmm(x, subs, lp, name, pet=None):
     stream from HBM (half the bytes — decode is bandwidth-bound), convert to
     the activation dtype in the matmul fusion, and the per-output-channel
     scale multiplies the OUTPUT (mixed int8 x bf16 dots do not hit the MXU,
-    so quantization lives entirely in the weight load)."""
+    so quantization lives entirely in the weight load). A weight that was
+    pre-converted by :func:`dequant_weights` keeps its ``_scale`` plane —
+    scale presence, not weight dtype, selects the scaled path, so both forms
+    produce bit-identical outputs."""
     w = lp[name]
+    scale = lp.get(name + "_scale") if isinstance(lp, dict) else None
     if w.dtype == jnp.int8:
-        out = jnp.einsum(subs, x, w.astype(x.dtype),
-                         preferred_element_type=pet)
-        return out * lp[name + "_scale"].astype(out.dtype)
-    return jnp.einsum(subs, x, w, preferred_element_type=pet)
+        w = w.astype(x.dtype)
+    out = jnp.einsum(subs, x, w, preferred_element_type=pet)
+    if scale is not None:
+        out = out * scale.astype(out.dtype)
+    return out
 
 
 def _mlp(x, lp):
@@ -160,6 +165,29 @@ def quantize_weights(params):
     lm, ls = q(params["lm_head"])
     new["lm_head"] = lm
     new["lm_head_scale"] = ls
+    return new
+
+
+def dequant_weights(params, dtype=jnp.bfloat16):
+    """EXACT int8->bf16 pre-conversion of quantized matmul weights (codes
+    convert losslessly; the per-channel ``_scale`` planes stay and are still
+    applied on matmul outputs by ``_wmm``), so forwards over the result are
+    bit-identical to the fused-convert int8 path.
+
+    Why: in WIDE forwards (tree grow levels at W~78, tree verify at
+    T=tree_size, prefill chunks) XLA materialises the int8->bf16 convert per
+    matmul — measured at ~5 ms per full weight set on v5e, which made int8
+    weights 24% SLOWER than bf16 at reference tree scale
+    (BENCH_LOCAL round3_tree_bf16_ablation). Calling this once per
+    generation (inside the jitted program, so the copy lives only for the
+    dispatch) converts each weight exactly once; every level then streams
+    plain bf16. Narrow decode forwards (T <= gamma+2) keep the fused int8
+    path — there the halved HBM stream wins."""
+    def conv(w):
+        return w.astype(dtype) if w.dtype == jnp.int8 else w
+    new = dict(params)
+    new["layers"] = {k: conv(v) for k, v in params["layers"].items()}
+    new["lm_head"] = conv(params["lm_head"])
     return new
 
 

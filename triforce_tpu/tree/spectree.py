@@ -127,7 +127,12 @@ class TreeEngine:
 
         def _prefill_scan(params, chunks, kv):
             # all full chunks in ONE dispatch (a host loop pays a dispatch
-            # round trip per chunk — ~60 ms each through a remote tunnel)
+            # round trip per chunk — ~60 ms each through a remote tunnel).
+            # Wide chunks re-materialise the int8->bf16 weight convert per
+            # matmul: dequantize ONCE before the scan (exact, see
+            # llama.dequant_weights)
+            params = llama.dequant_weights(params, dtype)
+
             def sbody(kv, ids):
                 _, kv, _ = llama.forward_append(cfg, params, ids, kv,
                                                 need_logits=False, mesh=mesh,
@@ -144,16 +149,23 @@ class TreeEngine:
                 shard_seq=shard_seq)
         self._build = jax.jit(_build, donate_argnums=_dn(2, 3))
 
-        self._step = jax.jit(
-            functools.partial(_tree_step, cfg, grow_map, budget, prefill,
-                              temperature, top_p, tuple(eos_ids), ssl, mesh,
-                              shard_seq),
-            donate_argnums=_dn(1))
+        def _step_prog(params, state):
+            # every tree forward is WIDE (grow W, verify T=tree_size):
+            # dequantize int8 weights once per dispatch (exact) so levels
+            # stream bf16 instead of re-materialising the convert per matmul
+            return _tree_step(cfg, grow_map, budget, prefill, temperature,
+                              top_p, tuple(eos_ids), ssl, mesh, shard_seq,
+                              llama.dequant_weights(params, dtype), state)
+        self._step = jax.jit(_step_prog, donate_argnums=_dn(1))
 
         max_path = int(grow_map.depth.max()) + 1
 
         def _gen(max_len, params, state):
             """Whole tree generation as one dispatch (lax.while_loop)."""
+            # hoist the exact int8->bf16 dequant above the loop: one convert
+            # serves every step's wide forwards (round-3 lead: the fused
+            # per-matmul convert made int8 24% slower than bf16 at W=78)
+            params = llama.dequant_weights(params, dtype)
             buf = jnp.full((max_len + max_path + 1,), JUNK_TOKEN, jnp.int32)
             buf = buf.at[0].set(state.next_token[0])
 
@@ -182,6 +194,7 @@ class TreeEngine:
         def _gen_forced(max_len, alpha, params, state):
             """Forced-acceptance generation (one dispatch; alpha TRACED so
             every alpha shares one compiled program)."""
+            params = llama.dequant_weights(params, dtype)  # see _gen
             buf = jnp.full((max_len + max_path + 1,), JUNK_TOKEN, jnp.int32)
             buf = buf.at[0].set(state.next_token[0])
 
