@@ -1,0 +1,146 @@
+"""Decompose the BATCHED triforce step on hardware: time the three real
+forward components at B=1 vs B=4 to find where the missing ~28 ms/step
+lives (bench r4: B=1 10.6 ms, B=4 42.4 ms — exactly 4x, i.e. ZERO
+sharing, though weights should be read once per matmul for all rows).
+
+Components (shapes = the batched bench: prefill 15872, gamma 6, chain 6,
+budget 4096, int8 KV + int8 weights):
+  tverify — vmapped full-cache target forward, T = gamma+2 = 8
+  mid     — vmapped retrieval-cache middle verify, T = gamma+1 = 7
+  draft   — vmapped drafter chain forward, T = 7
+
+Methodology per NOTES_ROUND2: chain n calls in one dispatch serialized
+through the input ids; slope-time two chain lengths; retry on the axon
+tunnel's intermittent remote-compile broken pipe. ONE TPU job at a time.
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from triforce_tpu import config as C
+from triforce_tpu.config import SpecConfig
+from triforce_tpu.engine import Engine
+from triforce_tpu.models import llama
+from triforce_tpu.batched_spec import BatchedSpecEngine
+
+GAMMA, CHAIN, TRIPS = 6, 6, 2
+PREFILL = 15872
+N_LO, N_HI = 1, 5
+
+
+def build():
+    cfg, dcfg = C.BENCH_7B_PROXY, C.LLAMA_68M
+    sp = SpecConfig(gamma=GAMMA, budget=4096, chunk_size=8,
+                    draft_start_size=16, draft_recent_size=250 - GAMMA,
+                    temperature=0.6, top_p=0.9, middle_chain=CHAIN,
+                    middle_trips=TRIPS)
+    t = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    d = llama.init_params(jax.random.PRNGKey(1), dcfg, jnp.bfloat16)
+    eng = Engine(cfg, sp, t, draft_cfg=dcfg, draft_params=d,
+                 prefill=PREFILL,
+                 max_cache_len=PREFILL + 32 * (128 + GAMMA + 2),
+                 dtype=jnp.bfloat16, prefill_chunk=512, kv_quant=True,
+                 weight_quant=True, donate=False)
+    return eng
+
+
+def retry(f, *a):
+    for attempt in range(4):
+        try:
+            return f(*a)
+        except Exception as e:                        # tunnel broken pipe
+            if "UNAVAILABLE" not in str(e) and "transport" not in str(e):
+                raise
+            print(f"[bd] tunnel flake (attempt {attempt}): retrying",
+                  flush=True)
+            time.sleep(10)
+    return f(*a)
+
+
+def slope(fn, mk_args):
+    f_lo = jax.jit(lambda *a: fn(N_LO, *a))
+    f_hi = jax.jit(lambda *a: fn(N_HI, *a))
+    retry(lambda: float(f_lo(*mk_args())))
+    retry(lambda: float(f_hi(*mk_args())))
+    a = mk_args()
+    t0 = time.perf_counter(); float(f_lo(*a)); t_lo = time.perf_counter() - t0
+    a = mk_args()
+    t0 = time.perf_counter(); float(f_hi(*a)); t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (N_HI - N_LO) * 1e3
+
+
+def main():
+    print(f"[bd] backend={jax.default_backend()}", flush=True)
+    eng = build()
+    cfg, dcfg, sp = eng.target_cfg, eng.draft_cfg, eng.spec
+    bat = BatchedSpecEngine(eng, mode="triforce", donate=False,
+                            force_accept=0.9)
+    t_params, d_params = eng.t_params, eng.d_params
+
+    ids0 = jax.random.randint(jax.random.PRNGKey(40), (1, PREFILL), 0,
+                              cfg.vocab_size)
+    row = bat.prefill_rows([ids0], [0])
+    jax.block_until_ready(row)
+    print("[bd] prefill done", flush=True)
+
+    for B in (1, 4):
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape[1:]) + 0, row)
+        jax.block_until_ready(state)
+        seed_ids = jnp.arange(B, dtype=jnp.int32)
+
+        def fresh():
+            nonlocal seed_ids
+            seed_ids = seed_ids + 1
+            jax.block_until_ready(seed_ids)
+            return (seed_ids, state)
+
+        def tverify(n, seed, st):
+            def one(seed_row, row_st):
+                acc = jnp.float32(0)
+                ids = jnp.full((1, GAMMA + 2), 7, jnp.int32) + seed_row
+                for _ in range(n):
+                    logits, _, _ = llama.forward_append(
+                        cfg, t_params, ids, row_st.kv)
+                    acc = acc + logits.sum()
+                    ids = (ids + logits[0, -1, :1].astype(jnp.int32)) % 100
+                return acc
+            return jax.vmap(one)(seed, st).sum()
+
+        def mid(n, seed, st):
+            def one(seed_row, row_st):
+                acc = jnp.float32(0)
+                ids = jnp.full((1, GAMMA + 1), 7, jnp.int32) + seed_row
+                for _ in range(n):
+                    logits, _ = llama.forward_spec(
+                        cfg, t_params, ids, row_st.rkv, row_st.kv.seq_len,
+                        sp.budget, commit=False)
+                    acc = acc + logits.sum()
+                    ids = (ids + logits[0, -1, :1].astype(jnp.int32)) % 100
+                return acc
+            return jax.vmap(one)(seed, st).sum()
+
+        def draft(n, seed, st):
+            def one(seed_row, row_st):
+                acc = jnp.float32(0)
+                ids = jnp.full((1, GAMMA + 1), 7, jnp.int32) + seed_row
+                for _ in range(n):
+                    logits, _ = llama.draft_forward_spec(
+                        dcfg, d_params, ids, row_st.dkv, sp, commit=False)
+                    acc = acc + logits.sum()
+                    ids = (ids + logits[0, -1, :1].astype(jnp.int32)) % 100
+                return acc
+            return jax.vmap(one)(seed, st).sum()
+
+        for name, fn in (("tverify", tverify), ("mid", mid),
+                         ("draft", draft)):
+            ms = slope(fn, fresh)
+            print(f"[bd] B={B} {name:8s}: {ms:7.3f} ms/call", flush=True)
+
+
+if __name__ == "__main__":
+    main()

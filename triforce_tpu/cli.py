@@ -41,6 +41,13 @@ def parse_args(argv=None):
                         "verifies a k-token drafter chain with ONE "
                         "weight-stream-bound middle forward — lossless "
                         "either way (outer rejection test unchanged)")
+    p.add_argument("--middle_trips", "--middle-trips", type=int, default=0,
+                   dest="middle_trips",
+                   help="fixed middle-loop trip bound (0 = data-dependent "
+                        "while_loop). Set with --batch so vmapped rows run "
+                        "in lockstep instead of paying the batch's max trip "
+                        "count; ceil(gamma/(middle_chain+1))+1 covers one "
+                        "mid-chain rejection")
     p.add_argument("--budget", type=int, default=4096)
     p.add_argument("--chunk_size", "--chunk-size", type=int, default=8,
                    dest="chunk_size")
@@ -151,7 +158,8 @@ def main(argv=None):
                       draft_recent_size=recent,
                       temperature=args.temp, top_p=args.top_p,
                       max_len=args.gen_len,
-                      middle_chain=args.middle_chain)
+                      middle_chain=args.middle_chain,
+                      middle_trips=args.middle_trips)
 
     if args.mode in ("triforce", "retrieval") and \
             args.gen_len + args.gamma + 2 > args.budget:
