@@ -12,6 +12,9 @@ budget 4096, int8 KV + int8 weights):
 Methodology per NOTES_ROUND2: chain n calls in one dispatch serialized
 through the input ids; slope-time two chain lengths; retry on the axon
 tunnel's intermittent remote-compile broken pipe. ONE TPU job at a time.
+The chain is a ``lax.fori_loop`` (trip count static per jit, body compiled
+once) — the Python-unrolled form took >3 min per compile through the
+tunnel and timed out.
 """
 import sys
 import time
@@ -29,7 +32,7 @@ from triforce_tpu.batched_spec import BatchedSpecEngine
 
 GAMMA, CHAIN, TRIPS = 6, 6, 2
 PREFILL = 15872
-N_LO, N_HI = 1, 5
+N_LO, N_HI = 2, 34   # 32-call slope: >100 ms signal vs ~60 ms dispatch
 
 
 def build():
@@ -66,11 +69,17 @@ def slope(fn, mk_args):
     f_hi = jax.jit(lambda *a: fn(N_HI, *a))
     retry(lambda: float(f_lo(*mk_args())))
     retry(lambda: float(f_hi(*mk_args())))
-    a = mk_args()
-    t0 = time.perf_counter(); float(f_lo(*a)); t_lo = time.perf_counter() - t0
-    a = mk_args()
-    t0 = time.perf_counter(); float(f_hi(*a)); t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (N_HI - N_LO) * 1e3
+
+    def best(f):
+        ts = []
+        for _ in range(3):
+            a = mk_args()
+            t0 = time.perf_counter()
+            float(f(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (best(f_hi) - best(f_lo)) / (N_HI - N_LO) * 1e3
 
 
 def main():
@@ -99,42 +108,42 @@ def main():
             jax.block_until_ready(seed_ids)
             return (seed_ids, state)
 
-        def tverify(n, seed, st):
+        def chain(n, width, fwd, seed, st):
             def one(seed_row, row_st):
-                acc = jnp.float32(0)
-                ids = jnp.full((1, GAMMA + 2), 7, jnp.int32) + seed_row
-                for _ in range(n):
-                    logits, _, _ = llama.forward_append(
-                        cfg, t_params, ids, row_st.kv)
+                ids0 = jnp.full((1, width), 7, jnp.int32) + seed_row
+
+                def body(_, c):
+                    acc, ids = c
+                    logits = fwd(ids, row_st)
                     acc = acc + logits.sum()
                     ids = (ids + logits[0, -1, :1].astype(jnp.int32)) % 100
+                    return acc, ids
+                acc, _ = jax.lax.fori_loop(
+                    0, n, body, (jnp.float32(0), ids0))
                 return acc
             return jax.vmap(one)(seed, st).sum()
+
+        def tverify(n, seed, st):
+            return chain(
+                n, GAMMA + 2,
+                lambda ids, r: llama.forward_append(
+                    cfg, t_params, ids, r.kv)[0],
+                seed, st)
 
         def mid(n, seed, st):
-            def one(seed_row, row_st):
-                acc = jnp.float32(0)
-                ids = jnp.full((1, GAMMA + 1), 7, jnp.int32) + seed_row
-                for _ in range(n):
-                    logits, _ = llama.forward_spec(
-                        cfg, t_params, ids, row_st.rkv, row_st.kv.seq_len,
-                        sp.budget, commit=False)
-                    acc = acc + logits.sum()
-                    ids = (ids + logits[0, -1, :1].astype(jnp.int32)) % 100
-                return acc
-            return jax.vmap(one)(seed, st).sum()
+            return chain(
+                n, GAMMA + 1,
+                lambda ids, r: llama.forward_spec(
+                    cfg, t_params, ids, r.rkv, r.kv.seq_len,
+                    sp.budget, commit=False)[0],
+                seed, st)
 
         def draft(n, seed, st):
-            def one(seed_row, row_st):
-                acc = jnp.float32(0)
-                ids = jnp.full((1, GAMMA + 1), 7, jnp.int32) + seed_row
-                for _ in range(n):
-                    logits, _ = llama.draft_forward_spec(
-                        dcfg, d_params, ids, row_st.dkv, sp, commit=False)
-                    acc = acc + logits.sum()
-                    ids = (ids + logits[0, -1, :1].astype(jnp.int32)) % 100
-                return acc
-            return jax.vmap(one)(seed, st).sum()
+            return chain(
+                n, GAMMA + 1,
+                lambda ids, r: llama.draft_forward_spec(
+                    dcfg, d_params, ids, r.dkv, sp, commit=False)[0],
+                seed, st)
 
         for name, fn in (("tverify", tverify), ("mid", mid),
                          ("draft", draft)):
