@@ -47,6 +47,39 @@ def test_pg19_local_json(tmp_path):
     assert len(prompts) == 2
 
 
+FIXTURE_DIR = __file__.rsplit("/", 1)[0] + "/fixtures"
+
+
+def test_pg19_vendored_fixture_all_variants():
+    """The vendored PG-19-FORMAT fixture drives every offline branch of the
+    registry (reference data/dataset.py:17-52): '128k' (no limit), 'gs'
+    (limit 20), 'one-shot' (limit 1)."""
+    for name, want in [("128k", 2), ("gs", 2), ("one-shot", 1)]:
+        prompts = data.get_dataset(name, _Tok(), data_dir=FIXTURE_DIR)
+        assert len(prompts) == want, name
+        for p in prompts:
+            assert p.shape[0] == 1 and p.shape[1] > 50
+            assert p.dtype == np.int64
+
+
+def test_cli_runs_pg19_fixture(monkeypatch):
+    """End-to-end: the CLI consumes the vendored PG-19 fixture through a
+    stub tokenizer (the parity path that had never executed)."""
+    from triforce_tpu import cli
+
+    real = cli.load_model
+
+    def fake_load(spec, dtype, drafter=False):
+        cfg, params, _ = real(spec, dtype, drafter=drafter)
+        return cfg, params, _Tok()
+    monkeypatch.setattr(cli, "load_model", fake_load)
+    res = cli.main(["--mode", "retrieval", "--model", "tiny-target",
+                    "--prefill", "64", "--gen_len", "8", "--gamma", "3",
+                    "--budget", "16", "--chunk_size", "4",
+                    "--dataset", "one-shot", "--data_dir", FIXTURE_DIR])
+    assert res.tokens_per_sec > 0
+
+
 def test_lwm_chat_template():
     ids = data.build_chat_input_lwm(_Tok(), "x" * 500, prefill=300)
     assert ids.shape[0] == 1

@@ -284,3 +284,64 @@ def test_chain_lossless_first_token_marginal(chain_setup):
     assert tv < 1.5 * null_tv, (
         f"TV {tv:.4f} vs null {null_tv:.4f} — chain drafting biased")
     assert (emp[p_true == 0] == 0).all()
+
+def test_eos_tuple_matches_scalar():
+    """Engine accepts a TUPLE of EOS ids like TreeEngine (the reference's
+    tree path stops on 0 AND 2, SpecTree_TP.py:181). A tuple containing the
+    single id plus a never-sampled id must behave exactly like the scalar
+    form: same tokens, same eos flags, same stop behaviour."""
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, PREFILL), 3,
+                             TCFG.vocab_size)
+
+    def run(eos):
+        eng = Engine(TCFG, SPEC, t_params, prefill=PREFILL,
+                     max_cache_len=PREFILL + 64, dtype=jnp.float32,
+                     prefill_chunk=16, donate=False, eos_token_id=eos)
+        st = eng.init_state(jax.random.PRNGKey(9))
+        st = eng.prefill_target(st, ids)
+        recs = []
+        for _ in range(5):
+            st, stats = eng.retrieval_spec_step(st)
+            recs.append((np.asarray(stats.tokens).copy(), bool(stats.eos)))
+        return recs
+
+    a = run(eos=1)               # token id 1 occurs in tiny-vocab samples
+    b = run(eos=(1, TCFG.vocab_size + 7))   # second id never sampled
+    for (ta, ea), (tb, eb) in zip(a, b):
+        np.testing.assert_array_equal(ta, tb)
+        assert ea == eb
+    # a tuple whose SECOND id is the live one must also flag EOS
+    c = run(eos=(TCFG.vocab_size + 7, 1))
+    assert [e for _, e in c] == [e for _, e in a]
+
+
+def test_generate_stop_on_eos_tuple():
+    """Whole-generation loop honours stop_on_eos with a tuple: pick a token
+    known to be emitted early, make it EOS, and check generation halts at
+    it (reference decoding.py:107-121 breaks on EOS)."""
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (1, PREFILL), 3,
+                             TCFG.vocab_size)
+
+    def gen(eos, stop):
+        eng = Engine(TCFG, SPEC, t_params, prefill=PREFILL,
+                     max_cache_len=PREFILL + 96, dtype=jnp.float32,
+                     prefill_chunk=16, donate=False, eos_token_id=eos)
+        st = eng.init_state(jax.random.PRNGKey(5))
+        st = eng.prefill_target(st, ids)
+        st, buf, n, counters, stopped = eng.generate(
+            st, 24, mode="retrieval", stop_on_eos=stop)
+        return np.asarray(buf)[: int(n)].tolist(), bool(stopped)
+
+    base, _ = gen(eos=-1, stop=True)
+    assert len(base) >= 6
+    eos_id = base[4]            # emitted mid-generation in the base run
+    toks, stopped = gen(eos=(eos_id, TCFG.vocab_size + 7), stop=True)
+    assert stopped
+    assert len(toks) < len(base)
+    # without stop_on_eos the same run continues past the EOS
+    toks2, stopped2 = gen(eos=(eos_id, TCFG.vocab_size + 7), stop=False)
+    assert not stopped2 and len(toks2) >= len(toks)

@@ -58,6 +58,24 @@ def parse_args(argv=None):
     p.add_argument("--dataset", default="synthetic",
                    choices=["synthetic", "128k", "gs", "one-shot", "demo",
                             "lwm"])
+    p.add_argument("--data_dir", "--data-dir", default="data/pg19",
+                   dest="data_dir",
+                   help="local PG-19-format corpus dir for "
+                        "--dataset 128k/gs/one-shot (reference data/pg19)")
+    p.add_argument("--num_prompts", "--num-prompts", type=int, default=1,
+                   dest="num_prompts",
+                   help="evaluate N prompts and report the average "
+                        "(the reference entry scripts average over 20, "
+                        "test/on_chip.py:117-124); prompts cycle if the "
+                        "dataset has fewer")
+    p.add_argument("--eos", default="2",
+                   help="comma-separated EOS token ids (the reference's "
+                        "tree path stops on 0 AND 2, SpecTree_TP.py:181)")
+    p.add_argument("--stop_on_eos", "--stop-on-eos", action="store_true",
+                   dest="stop_on_eos",
+                   help="stop generation at the first emitted EOS "
+                        "(reference decoding.py:107-121 breaks on EOS "
+                        "unconditionally)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--file", default="", help="CSV log path (misc.log_csv)")
@@ -196,8 +214,15 @@ def main(argv=None):
     prompts = data_mod.get_dataset(args.dataset, tokenizer,
                                    datalen=args.prefill,
                                    vocab_size=t_cfg.vocab_size,
-                                   seed=args.seed)
-    ids = jnp.asarray(data_mod.fit_prompt(prompts[0], args.prefill))
+                                   seed=args.seed, data_dir=args.data_dir)
+    if args.dataset == "synthetic" and args.num_prompts > 1:
+        prompts = data_mod.synthetic_prompts(
+            args.num_prompts, args.prefill, t_cfg.vocab_size, args.seed)
+    eos_ids = tuple(int(e) for e in args.eos.split(","))
+    prompt_ids = [jnp.asarray(data_mod.fit_prompt(
+        prompts[i % len(prompts)], args.prefill))
+        for i in range(args.num_prompts)]
+    ids = prompt_ids[0]
 
     if args.mode == "tree":
         from .tree import planner
@@ -217,8 +242,11 @@ def main(argv=None):
             temperature=args.temp, top_p=args.top_p, dtype=dtype,
             kv_quant=args.kv_dtype == "int8",
             weight_quant=args.weight_dtype == "int8", ssl=args.ssl,
-            mesh=mesh, shard_seq=args.sp > 1)
-        res = tree_decode(engine, ids, max_len=args.gen_len, seed=args.seed)
+            eos_ids=eos_ids, mesh=mesh, shard_seq=args.sp > 1)
+        runs = [tree_decode(engine, pids, max_len=args.gen_len,
+                            seed=args.seed + i)
+                for i, pids in enumerate(prompt_ids)]
+        res = runs[0]
     else:
         d_cfg = d_params = None
         if args.mode == "triforce":
@@ -229,22 +257,42 @@ def main(argv=None):
             max_cache_len=args.prefill + 2 * (args.gen_len + spec.gamma + 2),
             dtype=dtype, kv_quant=args.kv_dtype == "int8",
             weight_quant=args.weight_dtype == "int8",
-            mesh=mesh, shard_seq=args.sp > 1)
+            eos_token_id=eos_ids, mesh=mesh, shard_seq=args.sp > 1)
         if args.batch > 1 and args.mode in ("retrieval", "triforce"):
-            res = _run_batched(engine, args, prompts)
+            runs = [_run_batched(engine, args, prompts)]
+            res = runs[0]
         else:
             fn = {"triforce": decoding.triforce,
                   "retrieval": decoding.retrieval_spec,
                   "ar": decoding.autoregressive}[args.mode]
-            kw = {} if args.mode == "ar" else {"stop_on_eos": False}
-            res = fn(engine, ids, max_len=args.gen_len, seed=args.seed,
-                     verbose=args.verbose, tokenizer=tokenizer, **kw)
+            kw = {} if args.mode == "ar" else \
+                {"stop_on_eos": args.stop_on_eos}
+            runs = [fn(engine, pids, max_len=args.gen_len,
+                       seed=args.seed + i, verbose=args.verbose,
+                       tokenizer=tokenizer, **kw)
+                    for i, pids in enumerate(prompt_ids)]
+            res = runs[0]
 
-    print(f"\n[{args.mode}] {res.tokens_per_sec:.2f} tokens/s "
-          f"({1e3 / max(res.tokens_per_sec, 1e-9):.1f} ms/token), "
-          f"acceptance {res.acceptance_rate:.3f}, "
-          f"{res.avg_tokens_per_step:.2f} tokens/step, "
-          f"{res.steps} steps, wall {res.wall_s:.1f}s")
+    for i, r in enumerate(runs):
+        print(f"\n[{args.mode}] prompt {i}: {r.tokens_per_sec:.2f} tokens/s "
+              f"({1e3 / max(r.tokens_per_sec, 1e-9):.1f} ms/token), "
+              f"acceptance {r.acceptance_rate:.3f}, "
+              f"{r.avg_tokens_per_step:.2f} tokens/step, "
+              f"{r.steps} steps, wall {r.wall_s:.1f}s")
+    if len(runs) > 1:
+        # aggregate like the reference's 20-prompt averages
+        # (test/on_chip.py:117-124): latency averaged per token, acceptance
+        # pooled over proposals
+        import math
+        tps = [r.tokens_per_sec for r in runs]
+        accs = [r.acceptance_rate for r in runs
+                if not math.isnan(r.acceptance_rate)]
+        res = dataclasses_replace_mean(res, runs)
+        print(f"\n[{args.mode}] AVERAGE over {len(runs)} prompts: "
+              f"{res.tokens_per_sec:.2f} tokens/s "
+              f"(per-prompt sigma {float(np.std(tps)):.2f}), acceptance "
+              f"{res.acceptance_rate:.3f}"
+              + (f" (sigma {float(np.std(accs)):.3f})" if accs else ""))
 
     if args.file:
         header = ("mode,model,prefill,gen_len,gamma,budget,chunk_size,temp,"
@@ -257,6 +305,22 @@ def main(argv=None):
                  f"{res.avg_tokens_per_step:.3f}\n")
         log_csv(args.file, header, entry)
     return res
+
+
+def dataclasses_replace_mean(res, runs):
+    """Aggregate per-prompt DecodeResults into one average row."""
+    import dataclasses
+    import math
+    n = len(runs)
+    accs = [r.acceptance_rate for r in runs
+            if not math.isnan(r.acceptance_rate)]
+    return dataclasses.replace(
+        res,
+        tokens_per_sec=sum(r.tokens_per_sec for r in runs) / n,
+        acceptance_rate=sum(accs) / len(accs) if accs else float("nan"),
+        avg_tokens_per_step=sum(r.avg_tokens_per_step for r in runs) / n,
+        steps=sum(r.steps for r in runs),
+        wall_s=sum(r.wall_s for r in runs))
 
 
 def _run_batched(engine, args, prompts):

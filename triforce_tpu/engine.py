@@ -32,6 +32,24 @@ from .ops import sampling
 JUNK_TOKEN = 100  # reference pads spec buffers with token id 100
 
 
+def _as_eos_tuple(eos_token_id) -> tuple:
+    """Normalize an EOS spec to a static tuple of ids. The reference's tree
+    path stops on BOTH token 0 and 2 (utils/SpecTree_TP.py:181) while its
+    flat path uses one id (utils/decoding.py:107-121); accepting a tuple
+    everywhere removes that asymmetry."""
+    if isinstance(eos_token_id, (tuple, list)):
+        return tuple(int(e) for e in eos_token_id)
+    return (int(eos_token_id),)
+
+
+def _is_eos(tok, eos_ids: tuple):
+    """Elementwise membership of ``tok`` in the static EOS id tuple."""
+    m = tok == eos_ids[0]
+    for e in eos_ids[1:]:
+        m = m | (tok == e)
+    return m
+
+
 @struct.dataclass
 class TriForceState:
     """All mutable decode state, threaded through jitted steps."""
@@ -89,6 +107,9 @@ class Engine:
         self.spec = spec
         self.prefill = prefill
         self.max_cache_len = max_cache_len
+        # int OR tuple of ids (static): every EOS test ORs over the tuple,
+        # matching TreeEngine (the reference checks 0 AND 2 in tree mode)
+        eos_token_id = _as_eos_tuple(eos_token_id)
         self.eos_token_id = eos_token_id
         self.dtype = dtype
         self.prefill_chunk = prefill_chunk
@@ -654,7 +675,8 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
     live = pos < gamma2
     # the walk stops at the first rejection OR the first ACCEPTED EOS
     # (continuing flag in the reference); positions after the stop are dead
-    stop_v = live & (~accept_v | (accept_v & (toks == eos_token_id)))
+    eos_ids = _as_eos_tuple(eos_token_id)
+    stop_v = live & (~accept_v | (accept_v & _is_eos(toks, eos_ids)))
     any_stop = jnp.any(stop_v)
     j_stop = jnp.argmax(stop_v)               # first True (0 if none)
     stop_acc = accept_v[j_stop]               # stop was an accepted EOS
@@ -676,8 +698,8 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
     # EOS on any emitting path: accepted proposal, residual resample, bonus
     # (the reference breaks on pred_token_idx == eos unconditionally,
     # decoding.py:107-121)
-    eos_hit = (any_stop & stop_acc) | (rejected & (res == eos_token_id)) \
-        | (bonus & (bonus_tok == eos_token_id))
+    eos_hit = (any_stop & stop_acc) | (rejected & _is_eos(res, eos_ids)) \
+        | (bonus & _is_eos(bonus_tok, eos_ids))
 
     # --- cache commit: rollback + retrieval tail refresh ------------------
     # appended gamma+2, want old + count + 1 kept (decoding.py:124).
