@@ -1,0 +1,204 @@
+"""Sequence-level losslessness evidence (VERDICT r3 item 6).
+
+The existing oracle (`test_triforce.test_lossless_first_token_marginal`)
+checks one step's FIRST emitted token. These tests strengthen that to:
+
+  * a multi-step distributional test: over hundreds of seeds, the joint
+    stream of the first K=4 emitted tokens of triforce / retrieval
+    generation must be indistinguishable (two-sample chi-square, per
+    position) from pure AR sampling of the same target model — the property
+    the reference argues only by construction (utils/decoding.py:97-118);
+  * a POWER control: the same statistic must FLAG a stream that is
+    provably not target-distributed (forced acceptance = 1.0 emits raw
+    drafter/middle proposals), so a pass is not vacuous;
+  * a tree ACCEPT-WALK oracle: the first token emitted by a TreeEngine
+    step (multi-child rejection walk with residual updates,
+    reference SpecTree_TP.py:205-260) must follow the target's own top-p
+    conditional exactly (goodness-of-fit) — round 3 only tested tree
+    ATTENTION equality, never the acceptance distribution.
+
+All seeds are fixed, so outcomes are deterministic (no flaky thresholds).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats as sstats
+
+from triforce_tpu import config as cfg_mod
+from triforce_tpu.config import SpecConfig
+from triforce_tpu.engine import Engine
+from triforce_tpu.models import llama
+from triforce_tpu.ops import sampling
+
+TCFG = cfg_mod.TINY_TARGET
+DCFG = cfg_mod.TINY_DRAFT
+# temperature 0.05: tiny random-init logits are nearly flat (std ~0.16), so
+# moderate temps leave every conditional near-uniform over V=199 tokens and
+# a histogram test has no power (expected counts ~N/V). 0.05 concentrates
+# top-p mass on ~8 tokens: chi-square can PASS the lossless stream AND
+# FLAG the control. Losslessness holds at any temperature.
+SPEC = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
+                  draft_recent_size=12, temperature=0.05, top_p=0.9)
+PREFILL = 32
+K = 4          # emitted-token positions compared
+N = 512        # seeds per sample
+
+
+@pytest.fixture(scope="module")
+def eng():
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    d_params = llama.init_params(jax.random.PRNGKey(1), DCFG,
+                                 dtype=jnp.float32)
+    engine = Engine(TCFG, SPEC, t_params, draft_cfg=DCFG,
+                    draft_params=d_params, prefill=PREFILL,
+                    max_cache_len=PREFILL + 64, dtype=jnp.float32,
+                    prefill_chunk=16, draft_prefill_chunk=8, donate=False)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, PREFILL), 0,
+                             TCFG.vocab_size)
+    state = engine.init_state(jax.random.PRNGKey(100))
+    state = engine.prefill_target(state, ids)
+    state = engine.prefill_draft(state, ids)
+    return engine, state
+
+
+def _chi2_two_sample(a: np.ndarray, b: np.ndarray):
+    """Two-sample chi-square on token histograms, rare tokens pooled so
+    every expected count is >= 5. Returns (statistic, dof)."""
+    tokens = np.union1d(a, b)
+    ca = np.array([(a == t).sum() for t in tokens], float)
+    cb = np.array([(b == t).sum() for t in tokens], float)
+    tot = ca + cb
+    order = np.argsort(-tot)
+    ca, cb, tot = ca[order], cb[order], tot[order]
+    na, nb = ca.sum(), cb.sum()
+    keep = tot * min(na, nb) / (na + nb) >= 5.0
+    k = max(int(keep.sum()), 1)
+    ca = np.concatenate([ca[:k], [ca[k:].sum()]])
+    cb = np.concatenate([cb[:k], [cb[k:].sum()]])
+    if ca[-1] + cb[-1] < 5.0:                       # drop a thin tail bucket
+        ca, cb = ca[:-1], cb[:-1]
+    pooled = (ca + cb) / (na + nb)
+    ea, eb = pooled * na, pooled * nb
+    stat = float((((ca - ea) ** 2) / np.maximum(ea, 1e-9)).sum()
+                 + (((cb - eb) ** 2) / np.maximum(eb, 1e-9)).sum())
+    return stat, max(len(ca) - 1, 1)
+
+
+def _positionwise_pvalue(sample_a: np.ndarray, sample_b: np.ndarray):
+    """sample_*: [N, K] token streams. Chi-square per position, summed
+    (positions given the SAME prefix are fresh-key independent across
+    seeds)."""
+    stat = dof = 0
+    for j in range(sample_a.shape[1]):
+        s, d = _chi2_two_sample(sample_a[:, j], sample_b[:, j])
+        stat, dof = stat + s, dof + d
+    return float(sstats.chi2.sf(stat, dof)), stat, dof
+
+
+def _keys(seed0: int):
+    return jax.vmap(jax.random.PRNGKey)(seed0 + np.arange(N))
+
+
+def _ar_sample(engine, state, seed0: int) -> np.ndarray:
+    """[N, K] AR tokens from the shared prefilled state, one key per row."""
+    def one(key):
+        _, _, _, buf = engine._gen_ar(K, engine.t_params, state.kv,
+                                      state.next_token, key)
+        return buf
+    return np.asarray(jax.jit(jax.vmap(one))(_keys(seed0)))
+
+
+def _spec_sample(engine, state, mode: str, seed0: int,
+                 forced: float | None = None) -> np.ndarray:
+    """[N, K] first-K emitted tokens of whole-generation speculation runs
+    (buf[0] is the prefill token, identical across rows)."""
+    def one(key):
+        st = state.replace(key=key)
+        if forced is not None:
+            out = engine.generate_forced(st, K, forced, mode=mode)
+        else:
+            out = engine.generate(st, K, mode=mode)
+        return out[1][1: K + 1]
+    return np.asarray(jax.jit(jax.vmap(one))(_keys(seed0)))
+
+
+@pytest.mark.parametrize("mode", ["retrieval", "triforce"])
+def test_sequence_distribution_matches_ar(eng, mode):
+    engine, state = eng
+    ar = _ar_sample(engine, state, seed0=50_000)
+    sp = _spec_sample(engine, state, mode, seed0=90_000)
+    p, stat, dof = _positionwise_pvalue(ar, sp)
+    assert p > 1e-3, (
+        f"{mode} K={K}-token stream differs from AR: chi2 {stat:.1f} "
+        f"(dof {dof}, p={p:.2e}) — speculation is not lossless")
+
+
+def test_statistic_has_power(eng):
+    """Forced acceptance 1.0 emits raw drafter-chain proposals (triforce) —
+    a provably non-target stream the statistic must flag. Guards against a
+    vacuous pass above."""
+    engine, state = eng
+    ar = _ar_sample(engine, state, seed0=150_000)
+    forced = _spec_sample(engine, state, "triforce", seed0=190_000,
+                          forced=1.0)
+    p, stat, dof = _positionwise_pvalue(ar, forced)
+    assert p < 1e-6, (
+        f"control not detected (p={p:.2e}): the two-sample test has no "
+        "power at this N — tighten before trusting the lossless pass")
+
+
+def test_tree_accept_walk_first_token_marginal():
+    """Tree accept-walk oracle: the first token emitted by a TreeEngine
+    step must be distributed as the target's top-p conditional, exactly
+    (multi-child speculative sampling preserves the target marginal —
+    the property the reference assumes, SpecTree_TP.py:205-260)."""
+    from triforce_tpu.tree import planner
+    from triforce_tpu.tree.spectree import TreeEngine
+
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    pvec = planner.modeled_acceptance_vector(0.7, 4)
+    T, choice = planner.plan_tree(pvec, 8, 4)
+    gm = planner.build_grow_map(T, choice, 8, 4)
+    engine = TreeEngine(TCFG, gm, t_params, prefill=PREFILL,
+                        max_cache_len=PREFILL + 96, budget=16, chunk_size=4,
+                        temperature=0.05, top_p=0.9, dtype=jnp.float32,
+                        prefill_chunk=16, donate=False)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, PREFILL), 0,
+                             TCFG.vocab_size)
+    state = engine.init_state(jax.random.PRNGKey(100))
+    state = engine.prefill_target(state, ids)
+
+    # exact target conditional given (prefix, next_token)
+    logits, _, _ = llama.forward_append(
+        TCFG, t_params, state.next_token[None].astype(jnp.int32), state.kv)
+    p_true = np.asarray(sampling.norm_logits(
+        logits[0, -1][None], 0.05, -1, 0.9)[0], np.float64)
+    p_true = p_true / p_true.sum()
+
+    def one(key):
+        _, stats_ = engine._step(engine.params,
+                                 state.replace(key=key))
+        return stats_.tokens[0]
+    toks = np.asarray(jax.jit(jax.vmap(one))(_keys(250_000)))
+
+    # support: every emitted token inside the target's top-p set
+    emp = np.bincount(toks, minlength=TCFG.vocab_size) / N
+    assert (emp[p_true == 0] == 0).all(), \
+        "tree walk emitted a token outside the target's top-p support"
+
+    # goodness-of-fit with expected-count pooling
+    order = np.argsort(-p_true)
+    exp = p_true[order] * N
+    k = max(int((np.cumsum(exp >= 5.0) == np.arange(1, len(exp) + 1)).sum()),
+            1)
+    obs = np.concatenate([emp[order][:k] * N, [emp[order][k:].sum() * N]])
+    e = np.concatenate([exp[:k], [exp[k:].sum()]])
+    stat = float(((obs - e) ** 2 / np.maximum(e, 1e-9)).sum())
+    p = float(sstats.chi2.sf(stat, max(len(e) - 1, 1)))
+    assert p > 1e-3, (
+        f"tree first-token marginal departs from target conditional: "
+        f"chi2 {stat:.1f}, p={p:.2e}")
