@@ -75,10 +75,13 @@ def slope(fn, mk_args):
         for _ in range(3):
             a = mk_args()
             t0 = time.perf_counter()
-            float(f(*a))
+            retry(lambda: float(f(*a)))   # tunnel flakes mid-timing too
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
+    # NOTE: the fori_loop latch costs O(10 us)/iteration and is part of the
+    # slope, slightly inflating ms/call vs the engine's unrolled dispatch;
+    # the lo/hi subtraction only cancels FIXED dispatch cost.
     return (best(f_hi) - best(f_lo)) / (N_HI - N_LO) * 1e3
 
 

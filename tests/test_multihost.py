@@ -39,7 +39,7 @@ def test_two_process_cpu_mesh():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
             outs.append(out.decode(errors="replace"))
     finally:
         for p in procs:
@@ -49,3 +49,7 @@ def test_two_process_cpu_mesh():
         assert p.returncode == 0, out[-4000:]
     assert "OK pid=0 devices=4" in outs[0], outs[0][-2000:]
     assert "OK pid=1 devices=4" in outs[1], outs[1][-2000:]
+    # the actual hierarchy decode ran across the 2 processes and matched
+    # the single-device tokens (see _multihost_worker.py)
+    assert "DECODE-OK pid=0 tp=2 sp=2" in outs[0], outs[0][-2000:]
+    assert "DECODE-OK pid=1 tp=2 sp=2" in outs[1], outs[1][-2000:]
