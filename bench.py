@@ -509,10 +509,10 @@ def run_batched(preset: str, args, rows: int = 4):
                                 force_accept=args.alpha, donate=True)
         prompts = [make_ids(engine, 40 + i)[:, :prefill] for i in range(b)]
         st = bat.prefill_rows(prompts, list(range(b)))
-        st, toks, ns, _c = bat.decode(st, steps)      # compile warm-up
+        st, toks, ns, _c, _e = bat.decode(st, steps)  # compile warm-up
         _ = int(np.asarray(ns)[0, -1])
         t0 = time.perf_counter()
-        st, toks, ns, _c = bat.decode(st, steps)
+        st, toks, ns, _c, _e = bat.decode(st, steps)
         total = int(np.asarray(ns).sum())
         dt = time.perf_counter() - t0
         res[f"b{b}"] = {"tokens_per_sec": total / dt,

@@ -32,7 +32,7 @@ from triforce_tpu.batched_spec import BatchedSpecEngine
 
 GAMMA, CHAIN, TRIPS = 6, 6, 2
 PREFILL = 15872
-N_LO, N_HI = 2, 34   # 32-call slope: >100 ms signal vs ~60 ms dispatch
+N_LO, N_HI = 2, 10   # 8-call slope (the 34-call chain hung the tunnel r4)
 
 
 def build():
@@ -64,11 +64,14 @@ def retry(f, *a):
     return f(*a)
 
 
-def slope(fn, mk_args):
+def slope(fn, mk_args, tag=""):
     f_lo = jax.jit(lambda *a: fn(N_LO, *a))
     f_hi = jax.jit(lambda *a: fn(N_HI, *a))
+    print(f"[bd] {tag} compiling lo...", flush=True)
     retry(lambda: float(f_lo(*mk_args())))
+    print(f"[bd] {tag} compiling hi...", flush=True)
     retry(lambda: float(f_hi(*mk_args())))
+    print(f"[bd] {tag} timing...", flush=True)
 
     def best(f):
         ts = []
@@ -150,7 +153,7 @@ def main():
 
         for name, fn in (("tverify", tverify), ("mid", mid),
                          ("draft", draft)):
-            ms = slope(fn, fresh)
+            ms = slope(fn, fresh, tag=f"B={B} {name}")
             print(f"[bd] B={B} {name:8s}: {ms:7.3f} ms/call", flush=True)
 
 

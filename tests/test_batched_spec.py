@@ -15,6 +15,7 @@ from triforce_tpu.batched_spec import BatchedSpecEngine, stack_states
 
 SPEC = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
                   draft_recent_size=12, temperature=0.7, top_p=0.9)
+TCFG = C.TINY_TARGET
 PREFILL = 32
 B = 3
 
@@ -121,7 +122,7 @@ def test_decode_fused_equals_stepped(mode):
 
     bat2 = BatchedSpecEngine(eng, mode=mode, donate=False)
     st2 = bat2.prefill_rows(prompts, seeds)
-    _, toks, ns, _c = bat2.decode(st2, steps=3)
+    _, toks, ns, _c, _e = bat2.decode(st2, steps=3)
     np.testing.assert_array_equal(np.asarray(toks), want_toks)
     np.testing.assert_array_equal(np.asarray(ns), want_ns)
 
@@ -133,7 +134,7 @@ def test_batched_forced_acceptance():
     bat = BatchedSpecEngine(eng, mode="retrieval", donate=False,
                             force_accept=1.0)
     st = bat.prefill_rows(_prompts(), [4, 5, 6])
-    _, toks, ns, counters = bat.decode(st, steps=2)
+    _, toks, ns, counters, _e = bat.decode(st, steps=2)
     assert np.asarray(ns).shape == (B, 2)
     assert (np.asarray(ns) == SPEC.gamma + 1).all()
     counters = np.asarray(counters)
@@ -209,7 +210,7 @@ def test_fixed_trip_forced_full_acceptance_matches_while_loop_rate():
         bat = BatchedSpecEngine(eng, mode="triforce", donate=False,
                                 force_accept=1.0)
         st = bat.prefill_rows(_prompts(), [4, 5, 6])
-        _, toks, ns, counters = bat.decode(st, steps=2)
+        _, toks, ns, counters, _e = bat.decode(st, steps=2)
         ns_by_trips[trips] = np.asarray(ns)
     assert (ns_by_trips[1] == SPEC.gamma + 2).all()
     np.testing.assert_array_equal(ns_by_trips[1], ns_by_trips[0])
@@ -228,12 +229,12 @@ def test_dp_sharded_rows_equal_unsharded(mode):
 
     bat = BatchedSpecEngine(eng, mode=mode, donate=False)
     st = bat.prefill_rows(prompts, seeds)
-    _, want_toks, want_ns, _c = bat.decode(st, steps=3)
+    _, want_toks, want_ns, _c, _e = bat.decode(st, steps=3)
 
     mesh = mesh_mod.make_mesh(dp=4)
     bat_dp = BatchedSpecEngine(eng, mode=mode, donate=False, mesh=mesh)
     st2 = bat_dp.prefill_rows(prompts, seeds)
-    _, toks, ns, _c = bat_dp.decode(st2, steps=3)
+    _, toks, ns, _c, _e = bat_dp.decode(st2, steps=3)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(want_toks))
     np.testing.assert_array_equal(np.asarray(ns), np.asarray(want_ns))
 
@@ -253,7 +254,7 @@ def test_dpxtp_composed_rows_equal_unsharded(mode):
 
     bat = BatchedSpecEngine(eng, mode=mode, donate=False)
     st = bat.prefill_rows(prompts, seeds)
-    _, want_toks, want_ns, want_c = bat.decode(st, steps=3)
+    _, want_toks, want_ns, want_c, _e = bat.decode(st, steps=3)
 
     mesh = mesh_mod.make_mesh(dp=2, tp=2, sp=2)
     tcfg, dcfg = C.TINY_TARGET, C.TINY_DRAFT
@@ -271,7 +272,77 @@ def test_dpxtp_composed_rows_equal_unsharded(mode):
     bat_m = BatchedSpecEngine(eng_m, mode=mode, donate=False)
     assert bat_m._composed and bat_m._dp == 2
     st2 = bat_m.prefill_rows(prompts, seeds)
-    _, toks, ns, c = bat_m.decode(st2, steps=3)
+    _, toks, ns, c, _e = bat_m.decode(st2, steps=3)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(want_toks))
     np.testing.assert_array_equal(np.asarray(ns), np.asarray(want_ns))
     np.testing.assert_array_equal(np.asarray(c), np.asarray(want_c))
+
+
+def test_spec_scheduler_six_requests_four_slots():
+    """Speculative continuous batching (VERDICT r4 item 5): 6 requests flow
+    through 4 speculative slots (admit -> fused batched spec segments ->
+    retire on length), and EVERY output equals its single-sequence run —
+    the admission/retire machinery must not perturb any row."""
+    from triforce_tpu.batched_spec import SpecScheduler
+    from triforce_tpu.batching import Request
+    from triforce_tpu import decoding
+
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    engine = Engine(TCFG, SPEC, t_params, prefill=PREFILL,
+                    max_cache_len=PREFILL + 256, dtype=jnp.float32,
+                    prefill_chunk=16, donate=True)
+    max_new = 12
+    prompts = [np.asarray(jax.random.randint(
+        jax.random.PRNGKey(60 + i), (PREFILL,), 0, TCFG.vocab_size))
+        for i in range(6)]
+
+    sched = SpecScheduler(engine, mode="retrieval", slots=4, segment=2)
+    for i, p in enumerate(prompts):
+        sched.submit(Request(rid=i, prompt=p, max_new_tokens=max_new))
+    done = sched.run(max_wall_s=600)
+    assert len(done) == 6 and all(r.done for r in done)
+
+    # single-sequence references: same seed (rid) -> identical trajectory
+    for i, p in enumerate(prompts):
+        solo = decoding.retrieval_spec(
+            engine, jnp.asarray(p)[None], max_len=max_new + 8, seed=i)
+        req = next(r for r in done if r.rid == i)
+        assert req.out == solo.tokens[:max_new], (
+            i, req.out, solo.tokens[:max_new])
+
+
+def test_spec_scheduler_retires_on_eos():
+    """A row whose stream hits an EOS id retires early, trimmed at the
+    EOS, and its slot is reused by a queued request."""
+    from triforce_tpu.batched_spec import SpecScheduler
+    from triforce_tpu.batching import Request
+    from triforce_tpu import decoding
+
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    prompt = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(77), (PREFILL,), 3, TCFG.vocab_size))
+
+    # probe a run to find a token emitted mid-stream, then make it EOS
+    probe_eng = Engine(TCFG, SPEC, t_params, prefill=PREFILL,
+                       max_cache_len=PREFILL + 256, dtype=jnp.float32,
+                       prefill_chunk=16, donate=True)
+    solo = decoding.retrieval_spec(probe_eng, jnp.asarray(prompt)[None],
+                                   max_len=16, seed=0)
+    eos_id = solo.tokens[5]
+    cut = solo.tokens.index(eos_id)        # first occurrence <= 5
+
+    engine = Engine(TCFG, SPEC, t_params, prefill=PREFILL,
+                    max_cache_len=PREFILL + 256, dtype=jnp.float32,
+                    prefill_chunk=16, donate=True, eos_token_id=(eos_id,))
+    sched = SpecScheduler(engine, mode="retrieval", slots=2, segment=2)
+    for i in range(3):                     # 3 requests through 2 slots
+        sched.submit(Request(rid=0 if i == 0 else 100 + i, prompt=prompt,
+                             max_new_tokens=64))
+    done = sched.run(max_wall_s=600)
+    assert len(done) == 3
+    req0 = next(r for r in done if r.rid == 0)
+    # same PRNG as the probe run -> same stream, cut at the first EOS
+    assert req0.out == solo.tokens[: cut + 1]
+    assert req0.out[-1] == eos_id

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import ModelConfig, SpecConfig
 from .engine import (Engine, TriForceState, _retrieval_spec_step,
@@ -38,23 +39,26 @@ def _decode_fused(vstep, steps: int, gamma: int, params_args, state):
     tunnel, so a host-looped decode would measure the harness. Returns
     (state, tokens [B, steps, gamma+2], n_emitted [B, steps],
     counters [B, 2] = per-row (accepted, proposed) for acceptance-rate
-    reporting)."""
+    reporting, eos [B, steps] = per-step EOS flags for the scheduler)."""
     b = state.next_token.shape[0]
     toks0 = jnp.zeros((b, steps, gamma + 2), jnp.int32)
     ns0 = jnp.zeros((b, steps), jnp.int32)
     counters0 = jnp.zeros((b, 2), jnp.int32)
+    eos0 = jnp.zeros((b, steps), bool)
 
     def body(i, c):
-        state, toks, ns, counters = c
+        state, toks, ns, counters, eos = c
         state, stats = vstep(*params_args, state)
         toks = jax.lax.dynamic_update_slice(
             toks, stats.tokens[:, None, :], (0, i, 0))
         ns = ns.at[:, i].set(stats.n_emitted)
         counters = counters + jnp.stack([stats.accepted, stats.gamma2],
                                         axis=-1)
-        return state, toks, ns, counters
+        eos = eos.at[:, i].set(stats.eos)
+        return state, toks, ns, counters, eos
 
-    return jax.lax.fori_loop(0, steps, body, (state, toks0, ns0, counters0))
+    return jax.lax.fori_loop(0, steps, body,
+                             (state, toks0, ns0, counters0, eos0))
 
 
 def stack_states(states):
@@ -145,7 +149,7 @@ class BatchedSpecEngine:
                 def inner(t_params, state):
                     return _decode_fused(vstep, steps, sp.gamma,
                                          (t_params,), state)
-                return wrap(inner, 1, 4)(t_params, state)
+                return wrap(inner, 1, 5)(t_params, state)
             self._decode = jax.jit(_decode, static_argnums=(0,),
                                    donate_argnums=(2,) if donate else ())
         elif mode == "triforce":
@@ -162,7 +166,7 @@ class BatchedSpecEngine:
                 def inner(t_params, d_params, state):
                     return _decode_fused(vstep, steps, sp.gamma,
                                          (t_params, d_params), state)
-                return wrap(inner, 2, 4)(t_params, d_params, state)
+                return wrap(inner, 2, 5)(t_params, d_params, state)
             self._decode = jax.jit(_decode, static_argnums=(0,),
                                    donate_argnums=(3,) if donate else ())
         else:
@@ -210,3 +214,106 @@ class BatchedSpecEngine:
             return self._decode(steps, self.engine.t_params, state)
         return self._decode(steps, self.engine.t_params,
                             self.engine.d_params, state)
+
+
+class SpecScheduler:
+    """Speculative continuous batching: requests flow through a fixed pool
+    of B speculative slots — admit (single-row prefill, jitted row write
+    into the stacked state) -> decode segments of fused batched speculation
+    steps -> retire on EOS / length (VERDICT r3 item 5: the union of
+    ``batching.Scheduler``'s admission machinery with this module's batched
+    spec steps).
+
+    Per-row trajectories are EXACTLY the single-sequence runs (same seeds):
+    admission replays the engine's own prefill programs, the batched step
+    is the vmapped single-row step (bit-equal, tested), and rows never
+    interact. A retired or never-filled slot keeps decoding inert junk
+    until the next admission overwrites it wholesale — wasted row-compute,
+    but the step program stays static-shape with no per-row masking, and
+    the cache headroom (``idle_slack``) absorbs the junk growth; a
+    production deployment would gate dead rows instead.
+    """
+
+    def __init__(self, engine: Engine, mode: str = "retrieval", *,
+                 slots: int = 4, segment: int = 4, seed: int = 0,
+                 force_accept=None):
+        self.engine = engine
+        self.mode = mode
+        self.slots = slots
+        self.segment = segment
+        self.bat = BatchedSpecEngine(engine, mode=mode, donate=True,
+                                     force_accept=force_accept)
+        # stacked pool state: B blank rows (blank = fresh init_state; junk
+        # decode from an empty cache is harmless and replaced on admission)
+        self.state = stack_states(
+            [engine.init_state(jax.random.PRNGKey(seed * 1000 + i))
+             for i in range(slots)])
+        self.slot_req = [None] * slots
+        self.queue = []
+        self._eos_ids = engine.eos_token_id
+
+        def _write_row(full, row, slot):
+            """Overwrite stacked-state row ``slot`` with a fresh
+            single-sequence state: O(row) dynamic_update_slice per leaf on
+            the DONATED pool buffers; ``slot`` traced, so every slot shares
+            one compiled program (same pattern as batching._admit_row)."""
+            def wr(f, r):
+                idx = (slot.astype(jnp.int32),) + (jnp.int32(0),) * r.ndim
+                return jax.lax.dynamic_update_slice(
+                    f, r[None].astype(f.dtype), idx)
+            return jax.tree.map(wr, full, row)
+        self._write_row = jax.jit(_write_row, donate_argnums=(0,))
+
+    def submit(self, req) -> None:
+        self.queue.append(req)
+
+    def _admit(self) -> None:
+        eng = self.engine
+        for slot in range(self.slots):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            ids = jnp.asarray(req.prompt, jnp.int32)
+            if ids.ndim == 1:
+                ids = ids[None]
+            row = eng.init_state(jax.random.PRNGKey(req.rid))
+            row = eng.prefill_target(row, ids)
+            if self.mode == "triforce":
+                row = eng.prefill_draft(row, ids)
+            req.out = [int(row.next_token[0])]   # the prefill sample
+            self.state = self._write_row(self.state, row,
+                                         jnp.asarray(slot, jnp.int32))
+            self.slot_req[slot] = req
+
+    def run(self, max_wall_s: float = 600.0):
+        """Drive until queue + slots drain (or the wall clock expires);
+        returns finished requests in completion order."""
+        import time as _time
+        done = []
+        t0 = _time.perf_counter()
+        while (self.queue or any(r is not None for r in self.slot_req)) \
+                and _time.perf_counter() - t0 < max_wall_s:
+            self._admit()
+            self.state, toks, ns, _c, eos = self.bat.decode(self.state,
+                                                            self.segment)
+            toks = np.asarray(toks)
+            ns = np.asarray(ns)
+            eos = np.asarray(eos)
+            for slot, req in enumerate(self.slot_req):
+                if req is None:
+                    continue
+                for s in range(self.segment):
+                    req.out.extend(int(t) for t in toks[slot, s, :ns[slot, s]])
+                # retire on EOS (trim to the first EOS inclusive, like the
+                # reference's unconditional break) or on length
+                eos_pos = [i for i, t in enumerate(req.out)
+                           if t in self._eos_ids]
+                hit_eos = bool(eos[slot].any()) or bool(eos_pos)
+                if hit_eos and eos_pos:
+                    req.out = req.out[: eos_pos[0] + 1]
+                if len(req.out) >= req.max_new_tokens or hit_eos:
+                    req.out = req.out[: req.max_new_tokens]
+                    req.done = True
+                    done.append(req)
+                    self.slot_req[slot] = None
+        return done

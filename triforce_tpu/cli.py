@@ -351,7 +351,7 @@ def _run_batched(engine, args, prompts):
     # fixed step count sized for ~gen_len tokens/row at >=1 token/step
     steps = args.gen_len
     t0 = time.perf_counter()
-    state, toks, ns, counters = bat.decode(state, steps)
+    state, toks, ns, counters, _eos = bat.decode(state, steps)
     ns = np.asarray(ns)
     wall = time.perf_counter() - t0
     total = int(ns.sum())
