@@ -136,3 +136,60 @@ def test_engine_weight_quant_quantizes_drafter_and_decodes():
     st = eng.prefill_draft(st, ids)
     st, stats = eng.triforce_step(st)
     assert int(stats.n_emitted) >= 1
+
+
+def test_act_quant_matmul_close_to_exact():
+    """The int8 x int8 activation-quantized matmul (llama._wmm aq=True) must
+    track the exact weight-only path within per-token activation rounding
+    error (~1/127 relative) — it feeds PROPOSAL forwards only (tree grow),
+    so closeness, not equality, is the contract."""
+    import numpy as np
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (1, 78, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (64, 128), jnp.float32) * 0.1
+    wf = np.asarray(w, np.float32)
+    s = np.maximum(np.abs(wf).max(axis=0) / 127.0, 1e-8)
+    lp = {"w": jnp.asarray(np.clip(np.round(wf / s), -127, 127), jnp.int8),
+          "w_scale": jnp.asarray(s, jnp.float32)}
+    exact = llama._wmm(x, "bth,hd->btd", lp, "w")
+    aq = llama._wmm(x, "bth,hd->btd", lp, "w", aq=True)
+    err = float(jnp.max(jnp.abs(aq - exact)))
+    ref = float(jnp.max(jnp.abs(exact)))
+    assert err < 0.03 * ref, (err, ref)
+    # int8 codes dotted with int8 codes must accumulate in int32 exactly:
+    # a one-hot activation row recovers a dequantized weight row exactly
+    onehot = jnp.zeros((1, 1, 64), jnp.float32).at[0, 0, 7].set(1.0)
+    got = llama._wmm(onehot, "bth,hd->btd", lp, "w", aq=True)[0, 0]
+    want = lp["w"][7].astype(jnp.float32) * lp["w_scale"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_tree_grow_act_quant_proposals_track_exact():
+    """forward_tree_spec(act_quant=True) proposal logits must stay close to
+    the exact path's (same committed tree KV semantics, bounded rounding
+    drift) — grow is a proposal distribution, so the outer test absorbs the
+    shift, but a large divergence would indicate a wiring bug, not
+    rounding."""
+    import numpy as np
+    from triforce_tpu.cache import init_tree_retrieval
+    from triforce_tpu import config as C
+    cfg = C.TINY_TARGET
+    params = llama.quantize_weights(
+        llama.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32))
+    from triforce_tpu.cache import init_kv
+    kv = init_kv(cfg, 64, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0,
+                             cfg.vocab_size)
+    _, kv, _ = llama.forward_append(cfg, params, ids, kv)
+    rkv = init_tree_retrieval(cfg, budget=16, tree_size=8,
+                              dtype=jnp.float32)
+    tok = jnp.asarray([[5]], jnp.int32)
+    kw = dict(depths=np.zeros(1, np.int32),
+              ancestor_mask=np.zeros((1, 8), bool), slot_start=0,
+              budget=16, kv_seq_len=kv.seq_len)
+    exact, _, _ = llama.forward_tree_spec(cfg, params, tok, rkv, **kw)
+    aq, _, _ = llama.forward_tree_spec(cfg, params, tok, rkv, **kw,
+                                       act_quant=True)
+    err = float(jnp.max(jnp.abs(aq - exact)))
+    ref = float(jnp.max(jnp.abs(exact))) + 1e-9
+    assert err < 0.05 * ref, (err, ref)

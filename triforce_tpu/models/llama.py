@@ -93,7 +93,7 @@ def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (w * (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype))
 
 
-def _wmm(x, subs, lp, name, pet=None):
+def _wmm(x, subs, lp, name, pet=None, aq=False):
     """Weight matmul with optional INT8 weight-only quantization: int8 codes
     stream from HBM (half the bytes — decode is bandwidth-bound), convert to
     the activation dtype in the matmul fusion, and the per-output-channel
@@ -101,9 +101,29 @@ def _wmm(x, subs, lp, name, pet=None):
     so quantization lives entirely in the weight load). A weight that was
     pre-converted by :func:`dequant_weights` keeps its ``_scale`` plane —
     scale presence, not weight dtype, selects the scaled path, so both forms
-    produce bit-identical outputs."""
+    produce bit-identical outputs.
+
+    ``aq=True`` + int8 weights: dynamic per-token ACTIVATION quantization —
+    the dot runs int8 x int8 on the MXU (double throughput, half the weight
+    bytes, NO per-matmul int8->bf16 weight materialisation, which round 3
+    measured at ~5 ms per weight set in W~78-wide tree grow forwards,
+    BENCH_LOCAL round3_tree_bf16_ablation). Activation rounding shifts the
+    output slightly, so this path is reserved for PROPOSAL forwards (tree
+    grow): the outer exact rejection test absorbs any proposal shift
+    (losslessness untouched); verify forwards keep the exact path."""
     w = lp[name]
     scale = lp.get(name + "_scale") if isinstance(lp, dict) else None
+    if w.dtype == jnp.int8 and aq:
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                          1e-6) / 127.0
+        x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        out = jnp.einsum(subs, x8, w,
+                         preferred_element_type=jnp.int32)
+        out = out.astype(jnp.float32) * s_x        # [.., t, 1] broadcast
+        if scale is not None:
+            out = out * scale
+        return out.astype(pet if pet is not None else x.dtype)
     if w.dtype == jnp.int8:
         w = w.astype(x.dtype)
     out = jnp.einsum(subs, x, w, preferred_element_type=pet)
@@ -112,36 +132,36 @@ def _wmm(x, subs, lp, name, pet=None):
     return out
 
 
-def _mlp(x, lp):
-    gate = _wmm(x, "bth,hi->bti", lp, "w_gate")
-    up = _wmm(x, "bth,hi->bti", lp, "w_up")
-    return _wmm(jax.nn.silu(gate) * up, "bti,ih->bth", lp, "w_down")
+def _mlp(x, lp, aq=False):
+    gate = _wmm(x, "bth,hi->bti", lp, "w_gate", aq=aq)
+    up = _wmm(x, "bth,hi->bti", lp, "w_up", aq=aq)
+    return _wmm(jax.nn.silu(gate) * up, "bti,ih->bth", lp, "w_down", aq=aq)
 
 
-def _qkv(x, lp, cfg: ModelConfig):
+def _qkv(x, lp, cfg: ModelConfig, aq=False):
     b, t, _ = x.shape
-    q = _wmm(x, "bth,hd->btd", lp, "wq").reshape(
+    q = _wmm(x, "bth,hd->btd", lp, "wq", aq=aq).reshape(
         b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = _wmm(x, "bth,hd->btd", lp, "wk").reshape(
+    k = _wmm(x, "bth,hd->btd", lp, "wk", aq=aq).reshape(
         b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = _wmm(x, "bth,hd->btd", lp, "wv").reshape(
+    v = _wmm(x, "bth,hd->btd", lp, "wv", aq=aq).reshape(
         b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     return q, k, v  # [B, H, T, D]
 
 
-def _attn_out(ctx, lp):
+def _attn_out(ctx, lp, aq=False):
     b, hq, t, d = ctx.shape
     flat = ctx.transpose(0, 2, 1, 3).reshape(b, t, hq * d)
-    return _wmm(flat, "btd,dh->bth", lp, "wo")
+    return _wmm(flat, "btd,dh->bth", lp, "wo", aq=aq)
 
 
-def _logits(cfg: ModelConfig, params, x) -> jnp.ndarray:
+def _logits(cfg: ModelConfig, params, x, aq=False) -> jnp.ndarray:
     x = _rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     # matmul in model dtype with fp32 accumulation, then cast — exactly the
     # reference's `lm_head(h).float()` (modeling_llama.py:408-409); f32
     # OPERANDS would be a 4x-slower multi-pass on the bf16-native MXU
     return _wmm(x, "bth,hv->btv", params, "lm_head",
-                pet=jnp.float32)
+                pet=jnp.float32, aq=aq)
 
 
 def quantize_weights(params):
@@ -438,6 +458,7 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                       kv: Optional[KVCache] = None, ssl: int = 0,
                       mesh=None, shard_seq: bool = False,
                       staged_len: Optional[int] = None,
+                      act_quant: bool = False,
                       ) -> Tuple[jnp.ndarray, RetrievalCache,
                                  Optional[KVCache]]:
     """Middle-model forward of one speculation-tree frontier over the tree
@@ -502,16 +523,16 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         def body(x, xs):
             lp, k_all, v_all, ks_all, vs_all = _unpack_xs(xs, use_quant)
             h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-            q, k_new, v_new = _qkv(h, lp, cfg)
+            q, k_new, v_new = _qkv(h, lp, cfg, aq=act_quant)
             q = rope.apply_rope(q, cos, sin, positions)
             k_new = rope.apply_rope(k_new, cos, sin, positions)
             ctx = append_attention_sharded(
                 mesh, q, k_all, v_all, k_new, v_new, k_len=bound,
                 cache_mask_fn=mask_from(base), new_mask=new_mask,
                 k_scale=ks_all, v_scale=vs_all, shard_seq=seq_sharded)
-            x = x + _attn_out(ctx, lp)
+            x = x + _attn_out(ctx, lp, aq=act_quant)
             h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-            x = x + _mlp(h, lp)
+            x = x + _mlp(h, lp, aq=act_quant)
             return x, (k_new, v_new)
         return body
 
@@ -523,15 +544,15 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         def body(x, xs):
             lp, li = xs
             h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-            q, k_new, v_new = _qkv(h, lp, cfg)
+            q, k_new, v_new = _qkv(h, lp, cfg, aq=act_quant)
             q = rope.apply_rope(q, cos, sin, positions)
             k_new = rope.apply_rope(k_new, cos, sin, positions)
             ctx = _tree_grow_attention(cfg, q, cache, li, prefix_len,
                                        staged_start, slot_start, staged_len,
                                        amask, k_new, v_new, new_mask)
-            x = x + _attn_out(ctx, lp)
+            x = x + _attn_out(ctx, lp, aq=act_quant)
             h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-            x = x + _mlp(h, lp)
+            x = x + _mlp(h, lp, aq=act_quant)
             return x, (k_new, v_new)
         return body
 
@@ -569,7 +590,7 @@ def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
             x, (nk, nv) = jax.lax.scan(make_body(budget, k_len, quant), x,
                                        xs_r)
         rkv = _commit_partial(rkv, nk, nv, write0, layer0=ssl)
-    return _logits(cfg, params, x), rkv, kv_out
+    return _logits(cfg, params, x, aq=act_quant), rkv, kv_out
 
 
 
