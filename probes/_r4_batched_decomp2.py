@@ -36,16 +36,20 @@ PREFILL = 15872
 STEPS = 64
 
 
+_FLAKY = ("UNAVAILABLE", "transport", "response body closed",
+          "remote_compile", "DEADLINE")
+
+
 def retry(f):
-    for attempt in range(4):
+    for attempt in range(6):
         try:
             return f()
-        except Exception as e:                        # tunnel broken pipe
-            if "UNAVAILABLE" not in str(e) and "transport" not in str(e):
+        except Exception as e:                        # tunnel flakes
+            if not any(m in str(e) for m in _FLAKY):
                 raise
             print(f"[bd2] tunnel flake (attempt {attempt}): retrying",
                   flush=True)
-            time.sleep(10)
+            time.sleep(15)
     return f()
 
 
@@ -74,7 +78,7 @@ def main():
     # ---- component steps: single-row fns, vmapped + fori'd like the bench
     def _thread(state, logits):
         nt = (state.next_token
-              + logits[:, -1, :1].astype(jnp.int32)) % cfg.vocab_size
+              + logits[0, -1, 0].astype(jnp.int32)) % cfg.vocab_size
         return state.replace(next_token=nt)
 
     def step_tverify(tp, dp, state):

@@ -51,3 +51,25 @@ def test_planner_cli_roundtrip(tmp_path):
     planner.main(["--config", str(cfgp)])
     gm = planner.GrowMap.load(dst)
     assert gm.size >= 2
+
+
+def test_measure_acceptance_vector_fused():
+    """The acceptance-vector measurement (one scanned device program) must
+    return a valid planner vector: p[0] == 0, entries in [0, 1], total
+    acceptance <= 1, deterministic under the same seed."""
+    params = llama.init_params(jax.random.PRNGKey(0), TCFG, dtype=jnp.float32)
+
+    def mk():
+        return Engine(TCFG, SPEC, params, prefill=32, max_cache_len=256,
+                      dtype=jnp.float32, prefill_chunk=16, donate=False)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 32), 0,
+                             TCFG.vocab_size)
+    p1 = profiling.measure_acceptance_vector(mk(), ids, max_branch=3,
+                                             steps=12, seed=5)
+    p2 = profiling.measure_acceptance_vector(mk(), ids, max_branch=3,
+                                             steps=12, seed=5)
+    np.testing.assert_array_equal(p1, p2)
+    assert p1.shape == (4,)
+    assert p1[0] == 0.0
+    assert (p1 >= 0).all() and p1.sum() <= 1.0 + 1e-6
+    assert p1[1] > 0  # the first candidate accepts sometimes

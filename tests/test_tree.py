@@ -286,3 +286,35 @@ def test_tree_forced_acceptance(tree_engine):
     state2 = engine.prefill_target(state2, ids)
     _, _, n2, c2, _ = engine.generate_forced(state2, 12, 0.05)
     assert int(c2[1]) / max(int(c2[0]), 1) < max_path  # rarely a full path
+
+
+def test_planner_zero_tail_acceptance_vector():
+    """A MEASURED acceptance vector can have zero tail branches; the DP must
+    not poison itself with 0 * -inf = NaN (regression: choose_tree returned
+    None for p = [0, .875, .04, .04, 0])."""
+    p = np.array([0.0, 0.875, 0.0417, 0.0417, 0.0])
+    gm, cost, (m, l) = planner.choose_tree(
+        p, [8, 12, 16], [0.1, 0.12, 0.16], draft_time=0.01, max_depth=6)
+    assert np.isfinite(cost) and m in (8, 12, 16) and 1 <= l <= 6
+    T, _ = planner.plan_tree(p, 16, 6)
+    finite = T[np.isfinite(T)]
+    assert not np.isnan(finite).any()
+
+
+def test_planner_regime_sensitivity():
+    """The planner must pick a LARGE tree when the verify dominates (the
+    reference's measured offloading regime: draft 27 ms, verify ~1.1 s,
+    tree/config.json) and a SMALL tree when verify is cheap (on-chip) —
+    the measured-times-driven operating point of VERDICT r4 item 4."""
+    p = planner.modeled_acceptance_vector(0.8, 4)
+    sizes = [64, 128, 256, 512]
+    # slow-verify regime: reference's own numbers (interpolated per size)
+    _, cost_slow, (m_slow, l_slow) = planner.choose_tree(
+        p, sizes, [1.05, 1.06, 1.08, 1.10], draft_time=0.027, max_depth=24)
+    # fast on-chip verify: ~13 ms at any width, grow level ~2 ms
+    _, cost_fast, (m_fast, l_fast) = planner.choose_tree(
+        p, sizes, [0.013, 0.014, 0.016, 0.020], draft_time=0.002,
+        max_depth=24)
+    assert m_slow == 512, (m_slow, l_slow)   # amortize the 1.1 s verify
+    assert m_fast <= 128, (m_fast, l_fast)   # cheap verify: small tree
+    assert cost_slow > cost_fast

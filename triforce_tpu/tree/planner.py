@@ -115,7 +115,13 @@ def plan_tree(p: np.ndarray, max_budget: int, max_depth: int):
             T[m, l, 1] = 1.0 + p[1] * Tm1_best[m - 1, l - 1]
             for b in range(2, max_branch + 1):
                 ys = np.arange(1, m)
-                vals = T[ys, l, b - 1] + p[b] * Tm1_best[m - ys, l - 1]
+                # an infeasible child subtree (-inf) kills the split even at
+                # p[b] == 0 — and 0 * -inf would otherwise poison the DP
+                # with NaNs (hit by MEASURED acceptance vectors whose tail
+                # branches never accept)
+                sub = Tm1_best[m - ys, l - 1]
+                term = np.where(np.isfinite(sub), p[b] * sub, NEG)
+                vals = T[ys, l, b - 1] + term
                 y = int(np.argmax(vals))
                 T[m, l, b] = vals[y]
                 choice[m, l, b] = y + 1
