@@ -501,6 +501,7 @@ def run_planner(preset: str, args):
     A.tree_depth = max(int(depth_mod), 2)
     A.tree_budget = 4096 if preset != "tiny" else 16
     A.ssl = 0
+    A.prefill = prefill   # same context as the phase measurements
     res["run"] = run_tree(preset, A, gm=gm_mod)
     res["run"]["config_source"] = "planner.choose_tree on measured times"
     return res
@@ -674,7 +675,14 @@ def main() -> None:
                         "speculation — same dtype both sides, so the "
                         "speedup stays apples-to-apples; int8 halves the "
                         "weight stream, which the middle loop is bound by)")
-    p.add_argument("--modes", default="retrieval,triforce")
+    p.add_argument("--modes", default="retrieval,triforce,batched,planner",
+                   help="comma list of retrieval | triforce | tree | "
+                        "batched | planner. The default covers the headline "
+                        "flat modes plus the beyond-reference batched row "
+                        "and the measured-times planner decision (tree "
+                        "at the reference's own 512/12288 scale is opt-in "
+                        "via 'tree' — the planner row already runs the "
+                        "measured-optimal tree)")
     p.add_argument("--tree-size", type=int, default=512,
                    help="tree mode: nodes (reference offloading_seqouia "
                         "runs 512)")

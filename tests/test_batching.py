@@ -36,13 +36,14 @@ def test_rowwise_matches_single(params):
     for i, ln in enumerate(lens):
         ids = jax.random.randint(jax.random.PRNGKey(10 + i), (1, ln), 0,
                                  TCFG.vocab_size)
-        kv = KVCache(k=state.k[:, i:i + 1], v=state.v[:, i:i + 1],
+        kv = KVCache(k=state.k[i:i + 1].transpose(1, 0, 2, 3, 4),
+                     v=state.v[i:i + 1].transpose(1, 0, 2, 3, 4),
                      seq_len=jnp.zeros((), jnp.int32))
         logits, kv, _ = llama.forward_append(TCFG, params, ids, kv)
         rows.append((ids, kv, logits[:, -1]))
         state = state.replace(
-            k=state.k.at[:, i:i + 1].set(kv.k),
-            v=state.v.at[:, i:i + 1].set(kv.v),
+            k=state.k.at[i:i + 1].set(kv.k.transpose(1, 0, 2, 3, 4)),
+            v=state.v.at[i:i + 1].set(kv.v.transpose(1, 0, 2, 3, 4)),
             seq_lens=state.seq_lens.at[i].set(ln),
             tokens=state.tokens.at[i].set(int(ids[0, -1]) % 7),
             live=state.live.at[i].set(True))
@@ -56,7 +57,8 @@ def test_rowwise_matches_single(params):
         logits_1, kv2, _ = llama.forward_append(TCFG, params, tok[None], kv)
         # the committed KV must agree row-wise
         np.testing.assert_allclose(
-            np.asarray(new_state.k[:, i:i + 1, :, :lens[i] + 1]),
+            np.asarray(new_state.k[i:i + 1, :, :, :lens[i] + 1]
+                       ).transpose(1, 0, 2, 3, 4),
             np.asarray(kv2.k[:, :, :, :lens[i] + 1]), atol=2e-5, rtol=2e-5)
 
 
