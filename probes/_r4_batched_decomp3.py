@@ -109,31 +109,31 @@ def main():
         # B=4 (three undonated programs OOMed the 16 GB chip, run 1)
         progs[name] = jax.jit(prog, donate_argnums=(2,))
 
-    def mk_state(B, counter):
-        # fresh batched state per run, built ON DEVICE from the one
-        # prefilled row; counter perturbs next_token so the tunnel can
-        # never replay a memoized identical dispatch
-        def bc(r, c):
-            st = jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (B,) + x.shape[1:]) + 0, r)
-            return st.replace(next_token=st.next_token + c)
-        return jax.jit(bc, static_argnums=())(row, jnp.int32(counter))
+    def _bc(b_static, r, c):
+        st = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (b_static,) + x.shape[1:]) + 0, r)
+        return st.replace(next_token=st.next_token + c)
+    _bc_jit = jax.jit(_bc, static_argnums=(0,))   # ONE compiled bc per B
 
     counter = 0
     for B in (1, 4):
         for name, prog in progs.items():
             print(f"[bd3] B={B} {name} compiling...", flush=True)
             counter += 1
-            st = mk_state(B, counter)
+            st = _bc_jit(B, row, jnp.int32(counter))
             retry(lambda: int(prog(eng.t_params, eng.d_params, st)))
+            del st
+            time.sleep(8)      # let async frees land before reallocating
             ts = []
             for _r in range(3):
                 counter += 1
-                st = mk_state(B, counter)
+                st = _bc_jit(B, row, jnp.int32(counter))
                 jax.block_until_ready(st.next_token)
                 t0 = time.perf_counter()
                 retry(lambda: int(prog(eng.t_params, eng.d_params, st)))
                 ts.append(time.perf_counter() - t0)
+                del st
+                time.sleep(8)
             ms = min(ts) / STEPS * 1e3
             print(f"[bd3] B={B} {name:10s}: {ms:7.3f} ms/step", flush=True)
 

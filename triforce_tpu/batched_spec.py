@@ -136,12 +136,32 @@ class BatchedSpecEngine:
         step_seq = engine.shard_seq if self._composed else False
         vmap_kw = {"spmd_axis_name": "dp"} if self._composed else {}
 
+        # DEFERRED COMMIT: the vmapped step returns the new-KV stacks and
+        # only advances seq_len; the kv commit + retrieval tail refresh run
+        # OUTSIDE the vmap as chained per-row dynamic_update_slice
+        # (cache.batched_commit_and_refresh). Under vmap the in-step commit
+        # lowers to a scatter on a buffer the attention custom call reads,
+        # and XLA copy-insertion materialises the whole cache per step —
+        # measured as the entire batched-scaling gap (B=4 outer half
+        # 3.8 -> ~38 ms, probes/_r4_batched_decomp3.py).
+        from .cache import batched_commit_and_refresh
+
+        def add_writeback(vstep_def):
+            def full(*args):
+                st, stats, (nk, nv, old) = vstep_def(*args)
+                kv, rkv = batched_commit_and_refresh(
+                    st.kv, st.rkv, nk, nv, old, sp, engine.prefill)
+                return st.replace(kv=kv, rkv=rkv), stats
+            return full
+
         if mode == "retrieval":
             step = functools.partial(_retrieval_spec_step, cfg, sp,
                                      engine.prefill, engine.eos_token_id,
                                      step_mesh, step_seq,
-                                     force_accept=force_accept)
-            vstep = jax.vmap(step, in_axes=(None, 0), **vmap_kw)
+                                     force_accept=force_accept,
+                                     defer_commit=True)
+            vstep = add_writeback(
+                jax.vmap(step, in_axes=(None, 0), **vmap_kw))
             wrap = (lambda f, np_, no_: f) if self._composed else shard_rows
             self._step = jax.jit(wrap(vstep, 1, 2), donate_argnums=dn)
 
@@ -156,8 +176,10 @@ class BatchedSpecEngine:
             step = functools.partial(_triforce_step, cfg, engine.draft_cfg,
                                      sp, engine.prefill, engine.eos_token_id,
                                      step_mesh, step_seq,
-                                     force_accept=force_accept)
-            vstep = jax.vmap(step, in_axes=(None, None, 0), **vmap_kw)
+                                     force_accept=force_accept,
+                                     defer_commit=True)
+            vstep = add_writeback(
+                jax.vmap(step, in_axes=(None, None, 0), **vmap_kw))
             wrap = (lambda f, np_, no_: f) if self._composed else shard_rows
             self._step = jax.jit(wrap(vstep, 2, 2),
                                  donate_argnums=(2,) if donate else ())

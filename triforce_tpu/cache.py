@@ -375,3 +375,101 @@ def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
         extra = {"k_scale": one(rkv.k_scale, kv.k_scale),
                  "v_scale": one(rkv.v_scale, kv.v_scale)}
     return rkv.replace(k=one(rkv.k, kv.k), v=one(rkv.v, kv.v), **extra)
+
+
+def batched_commit_and_refresh(kv: KVCache, rkv: RetrievalCache,
+                               nk: jax.Array, nv: jax.Array,
+                               old_lens: jax.Array, spec: SpecConfig,
+                               prefill: int):
+    """Deferred-commit writeback for BATCHED speculation: commit every
+    row's [L, 1, H, T, D] new-KV stack into the row-stacked caches at its
+    own pre-step length and run the rolling-window retrieval tail refresh,
+    all as chained per-row ``dynamic_update_slice`` with scalar starts —
+    OUTSIDE the step's vmap. Under vmap these writes lower to scatters on
+    buffers the attention custom call also reads, and XLA copy-insertion
+    then materialises the whole multi-GB cache per step (measured: the
+    outer step half went 3.8 -> ~38 ms at B=4,
+    probes/_r4_batched_decomp3.py). ``kv.seq_len`` [B] is already advanced
+    by the deferred step; ``old_lens`` [B] are the pre-step lengths (=
+    write offsets). Writes the full static-T window per row (dead rejected
+    slots are overwritten later — identical semantics to the in-step
+    commit+rollback), and the refresh sources the SAME quantized codes the
+    commit writes, so results are bit-identical to the in-step path.
+    Returns (kv, rkv)."""
+    b_rows = nk.shape[0]
+    t_new = nk.shape[4]
+    budget = spec.budget
+    zero = jnp.zeros((), jnp.int32)
+    if kv.quantized:
+        k8, ks = quantize_tokens(nk)
+        v8, vs = quantize_tokens(nv)
+    else:
+        k8, v8 = nk.astype(kv.k.dtype), nv.astype(kv.v.dtype)
+        ks = vs = None
+    ck, cv = kv.k, kv.v
+    cks, cvs = kv.k_scale, kv.v_scale
+    rk, rv = rkv.k, rkv.v
+    rks, rvs = rkv.k_scale, rkv.v_scale
+    js = jnp.arange(t_new)
+    rb = rk.shape[4]
+
+    for b in range(b_rows):
+        start = old_lens[b].astype(jnp.int32)
+        bi = jnp.asarray(b, jnp.int32)
+        idx6 = (bi, zero, zero, zero, start, zero)
+        ck = jax.lax.dynamic_update_slice(ck, k8[b:b + 1], idx6)
+        cv = jax.lax.dynamic_update_slice(cv, v8[b:b + 1], idx6)
+        if kv.quantized:
+            idx5 = (bi, zero, zero, zero, start)
+            cks = jax.lax.dynamic_update_slice(cks, ks[b:b + 1], idx5)
+            cvs = jax.lax.dynamic_update_slice(cvs, vs[b:b + 1], idx5)
+
+        # rolling-window tail refresh for this row, sourced from the stack
+        # (same slot math as retrieval_tail_refresh, W = budget)
+        n_new = kv.seq_len[b].astype(jnp.int32) - start
+        base = (start - prefill) % budget
+        fk = jnp.flip(k8[b:b + 1], axis=4)
+        fv = jnp.flip(v8[b:b + 1], axis=4)
+        if rkv.quantized:
+            fks = jnp.flip(ks[b:b + 1], axis=4)
+            fvs = jnp.flip(vs[b:b + 1], axis=4)
+        loA = budget - base - t_new
+        for wrapped in (False, True):
+            lo = loA + (budget if wrapped else 0)
+            lo_c = jnp.clip(lo, 0, rb - t_new)
+            shift = lo - lo_c
+            q = js - shift                   # flipped idx at position p
+            jtok = t_new - 1 - q             # token idx at position p
+            in_win = (base + jtok >= budget) if wrapped \
+                else (base + jtok < budget)
+            valid = (q >= 0) & (q < t_new) & (jtok >= 0) \
+                & (jtok < n_new) & in_win
+            qc = jnp.clip(q, 0, t_new - 1)
+            sel6 = valid.reshape((1, 1, 1, 1, t_new, 1))
+            ridx6 = (bi, zero, zero, zero, lo_c, zero)
+            sz6 = (1,) + rk.shape[1:4] + (t_new, rk.shape[5])
+            old_k = jax.lax.dynamic_slice(rk, ridx6, sz6)
+            old_v = jax.lax.dynamic_slice(rv, ridx6, sz6)
+            tk = jnp.take(fk, qc, axis=4).astype(rk.dtype)
+            tv = jnp.take(fv, qc, axis=4).astype(rv.dtype)
+            rk = jax.lax.dynamic_update_slice(
+                rk, jnp.where(sel6, tk, old_k), ridx6)
+            rv = jax.lax.dynamic_update_slice(
+                rv, jnp.where(sel6, tv, old_v), ridx6)
+            if rkv.quantized:
+                sel5 = valid.reshape((1, 1, 1, 1, t_new))
+                ridx5 = (bi, zero, zero, zero, lo_c)
+                sz5 = (1,) + rk.shape[1:4] + (t_new,)
+                old_ks = jax.lax.dynamic_slice(rks, ridx5, sz5)
+                old_vs = jax.lax.dynamic_slice(rvs, ridx5, sz5)
+                tks = jnp.take(fks, qc, axis=4)
+                tvs = jnp.take(fvs, qc, axis=4)
+                rks = jax.lax.dynamic_update_slice(
+                    rks, jnp.where(sel5, tks, old_ks), ridx5)
+                rvs = jax.lax.dynamic_update_slice(
+                    rvs, jnp.where(sel5, tvs, old_vs), ridx5)
+
+    extra_kv = {"k_scale": cks, "v_scale": cvs} if kv.quantized else {}
+    extra_r = {"k_scale": rks, "v_scale": rvs} if rkv.quantized else {}
+    return (kv.replace(k=ck, v=cv, **extra_kv),
+            rkv.replace(k=rk, v=rv, **extra_r))

@@ -646,9 +646,20 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
                              eos_token_id: int, mesh, shard_seq, t_params,
                              state: TriForceState, gamma2, gen_tokens,
                              gen_probs, key, has_draft: bool, d_cfg, d_params,
-                             force_accept=None, return_probs=False):
+                             force_accept=None, return_probs=False,
+                             defer_commit=False):
     """Target full-cache verify + exact rejection sampling + cache commit.
     reference: decoding.py:84-141.
+
+    ``defer_commit``: the kv commit and retrieval tail refresh are NOT
+    performed; instead the step also returns a payload
+    ``(new_k_stack, new_v_stack, old_seq_len)`` and only advances
+    ``kv.seq_len``. Used by the batched engine, whose vmap would otherwise
+    lower the commit to a scatter on a buffer the attention custom call
+    reads — XLA copy-insertion then materialises the whole cache per step
+    (B=4 outer half measured 3.8 -> ~38 ms, probes/_r4_batched_decomp3.py);
+    the caller commits all rows outside the vmap with chained per-row
+    dynamic_update_slice (the flat engine's proven in-place pattern).
     """
     gamma = sp.gamma
     old_seq_len = state.kv.seq_len
@@ -658,7 +669,11 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         [state.next_token[None].astype(jnp.int32),
          gen_tokens[None, :gamma + 1]], axis=1)          # [1, gamma+2]
     logits, kv, _ = llama.forward_append(t_cfg, t_params, verify_in, state.kv,
-                                         mesh=mesh, shard_seq=shard_seq)
+                                         mesh=mesh, shard_seq=shard_seq,
+                                         commit=not defer_commit)
+    if defer_commit:
+        new_stacks, kv = kv, state.kv.replace(
+            seq_len=old_seq_len + gamma + 2)  # rolled back below
     p_all = sampling.norm_logits(logits[0], sp.temperature, sp.top_k,
                                  sp.top_p)               # [gamma+2, V]
 
@@ -716,7 +731,11 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
     has_final = resampled | bonus
     eos_is_pred = eos_hit & ~has_final
     kv = kv.rollback(gamma + 1 - count + eos_is_pred.astype(jnp.int32))
-    rkv = retrieval_tail_refresh(state.rkv, kv, sp, prefill, old_seq_len)
+    if defer_commit:
+        rkv = state.rkv      # refreshed by the caller from the stacks
+    else:
+        rkv = retrieval_tail_refresh(state.rkv, kv, sp, prefill,
+                                     old_seq_len)
 
     # --- emitted tokens this step ------------------------------------------
     pos = jnp.arange(gamma + 2)
@@ -750,6 +769,9 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
                       bonus=bonus.astype(jnp.int32), eos=eos_hit,
                       mid_draft=jnp.int32(0), mid_accept=jnp.int32(0),
                       mid_verify=jnp.int32(0))
+    if defer_commit:
+        nk, nv = new_stacks
+        return new_state, stats, (nk, nv, old_seq_len)
     if return_probs:
         # expose the REAL middle (q) and target (p) distribution rows of
         # this step for acceptance measurement (profiling.py) — positions
@@ -761,24 +783,28 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
 def _triforce_step(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
                    prefill: int, eos_token_id: int, mesh, shard_seq,
                    t_params, d_params, state: TriForceState,
-                   force_accept=None):
+                   force_accept=None, defer_commit=False):
     """One full TriForce outer iteration (decoding.py:70-141), jitted whole."""
     mid = _middle_spec(t_cfg, d_cfg, sp, mesh, t_params, d_params, state,
                        force_accept=force_accept)
     state = state.replace(key=mid["key"])
-    new_state, stats = _outer_verify_and_commit(
+    out = _outer_verify_and_commit(
         t_cfg, sp, prefill, eos_token_id, mesh, shard_seq, t_params, state,
         mid["n"], mid["gen_tokens"], mid["gen_probs"], mid["key"], True,
-        d_cfg, d_params, force_accept=force_accept)
-    return new_state, stats.replace(mid_draft=mid["mid_draft"],
-                                    mid_accept=mid["mid_accept"],
-                                    mid_verify=mid["trips"])
+        d_cfg, d_params, force_accept=force_accept,
+        defer_commit=defer_commit)
+    new_state, stats = out[0], out[1].replace(mid_draft=mid["mid_draft"],
+                                              mid_accept=mid["mid_accept"],
+                                              mid_verify=mid["trips"])
+    if defer_commit:
+        return new_state, stats, out[2]
+    return new_state, stats
 
 
 def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
                          eos_token_id: int, mesh, shard_seq,
                          t_params, state: TriForceState, force_accept=None,
-                         return_probs=False):
+                         return_probs=False, defer_commit=False):
     """Self-speculation step: the middle model (target weights over the
     retrieval cache) autoregressively drafts gamma tokens, the full-cache
     target verifies them — the minimum lossless slice (SURVEY.md §7.2 step 4;
@@ -815,12 +841,15 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         0, gamma, body,
         (verify_tokens0, gen_tokens0, gen_probs0, state.key))
     state = state.replace(key=key)
+    assert not (return_probs and defer_commit), \
+        "return_probs and defer_commit both repurpose the third output"
     out = _outer_verify_and_commit(
         t_cfg, sp, prefill, eos_token_id, mesh, shard_seq, t_params, state,
         jnp.int32(gamma), gen_tokens, gen_probs, key, False, None, None,
-        force_accept=force_accept, return_probs=return_probs)
+        force_accept=force_accept, return_probs=return_probs,
+        defer_commit=defer_commit)
     # the self-speculation draft loop IS gamma middle verifies
     new_state, stats = out[0], out[1].replace(mid_verify=jnp.int32(gamma))
-    if return_probs:
+    if return_probs or defer_commit:
         return new_state, stats, out[2]
     return new_state, stats

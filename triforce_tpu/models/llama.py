@@ -262,7 +262,7 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                    build_rkv: Optional[RetrievalCache] = None,
                    prefill: int = 0, chunk_size: int = 8, budget: int = 0,
                    tree_mask=None, need_logits: bool = True,
-                   mesh=None, shard_seq: bool = False,
+                   mesh=None, shard_seq: bool = False, commit: bool = True,
                    ) -> Tuple[jnp.ndarray, KVCache, Optional[RetrievalCache]]:
     """Append ``T`` tokens to the full cache and attend causally over it.
 
@@ -363,6 +363,19 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         new_k, new_v, qs = ys
     else:
         new_k, new_v = ys
+
+    if not commit:
+        # deferred-commit mode (batched speculation): return the raw
+        # [L, B, H, T, D] new-KV stacks in the cache slot; the CALLER
+        # commits them outside its vmap with per-row chained
+        # dynamic_update_slice. Under vmap the in-step commit lowers to a
+        # scatter on a buffer the attention custom call also reads, and
+        # XLA copy-insertion materialises the whole multi-GB cache per
+        # step (measured: the outer step half went 3.8 -> ~38 ms at B=4,
+        # probes/_r4_batched_decomp3.py).
+        assert not building
+        return _logits(cfg, params, x) if need_logits else None, \
+            (new_k, new_v), None
 
     kv_out = _commit_cache(kv, new_k, new_v, seq_len0,
                            seq_len=kv.seq_len + t)
