@@ -346,3 +346,42 @@ def test_spec_scheduler_retires_on_eos():
     # same PRNG as the probe run -> same stream, cut at the first EOS
     assert req0.out == solo.tokens[: cut + 1]
     assert req0.out[-1] == eos_id
+
+
+def test_batched_deferred_writeback_across_budget_wrap():
+    """The deferred-commit writeback (batched_commit_and_refresh) must stay
+    bit-identical to per-row flat steps THROUGH the retrieval rolling-window
+    wrap (generated tokens > budget): the wrap splits the per-row refresh
+    into two slot blocks, which only long generations exercise."""
+    eng = Engine(C.TINY_TARGET,
+                 SPEC,  # budget 16 -> wraps after ~4 steps
+                 llama.init_params(jax.random.PRNGKey(0), C.TINY_TARGET,
+                                   dtype=jnp.float32),
+                 prefill=PREFILL, max_cache_len=PREFILL + 192,
+                 dtype=jnp.float32, prefill_chunk=16, donate=False)
+    bat = BatchedSpecEngine(eng, mode="retrieval", donate=False)
+    prompts = _prompts()
+    seeds = [11, 22, 33]
+    steps = 10       # ~3-4 tokens/step x 10 >> budget 16: several wraps
+
+    refs = []
+    for ids, seed in zip(prompts, seeds):
+        st = eng.init_state(jax.random.PRNGKey(seed))
+        st = eng.prefill_target(st, ids)
+        toks = []
+        for _ in range(steps):
+            st, stats = eng.retrieval_spec_step(st)
+            toks += np.asarray(stats.tokens)[:int(stats.n_emitted)].tolist()
+        refs.append((toks, st))
+
+    st = bat.prefill_rows(prompts, seeds)
+    st, btoks, ns, _c, _e = bat.decode(st, steps)
+    btoks, ns = np.asarray(btoks), np.asarray(ns)
+    for r, (toks, ref_st) in enumerate(refs):
+        got = [int(t) for s in range(steps) for t in btoks[r, s, :ns[r, s]]]
+        assert got == toks, f"row {r} diverged past the wrap"
+        # the retrieval cache itself must match slot-for-slot (the refresh
+        # path is the wrap-sensitive part)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(ref_st.rkv)[0]),
+            np.asarray(jax.tree.leaves(st.rkv)[0][r]))
