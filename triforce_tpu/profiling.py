@@ -261,9 +261,15 @@ def measure_acceptance_vector(engine, input_ids, max_branch: int = 4,
                 jnp.zeros(max_branch + 1, jnp.float32), jnp.int32(0))
         (st, _, wins, total), _ = jax.lax.scan(scan_body, init, None,
                                                length=steps)
-        return wins, total
+        # the final state is RETURNED (and discarded by the caller) so the
+        # donated input state aliases an output: without a matching output,
+        # XLA drops the donation and the scan's first carry write duplicates
+        # the multi-GB cache — OOM at bench scale (r4 planner-bench failure)
+        return st, wins, total
 
-    wins, total = jax.jit(run, donate_argnums=(1,))(engine.t_params, state)
+    st, wins, total = jax.jit(run, donate_argnums=(1,))(
+        engine.t_params, state)
+    del st
     wins = np.asarray(wins, np.float64)
     wins[0] = 0.0        # bucket 0 = no accept: counts only in the total
     return wins / max(float(total), 1.0)
