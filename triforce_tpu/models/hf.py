@@ -156,6 +156,130 @@ def load_params(model_dir: str, dtype="bfloat16",
     return cfg, params
 
 
+def _tensor_file_map(model_dir: str) -> dict:
+    """Map tensor name -> absolute safetensors shard path.
+
+    Prefers the HF ``model.safetensors.index.json`` weight map; falls back
+    to scanning each shard's header (``safe_open`` reads only the header,
+    not the payload)."""
+    idx = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.isfile(idx):
+        with open(idx) as f:
+            wm = json.load(f)["weight_map"]
+        return {k: os.path.join(model_dir, v) for k, v in wm.items()}
+    from safetensors import safe_open
+    out = {}
+    for f in sorted(os.listdir(model_dir)):
+        if not f.endswith(".safetensors"):
+            continue
+        p = os.path.join(model_dir, f)
+        with safe_open(p, framework="np") as sf:
+            for k in sf.keys():
+                out[k] = p
+    if not out:
+        raise FileNotFoundError(
+            f"no safetensors shards in {model_dir} (streaming load needs "
+            f"safetensors; for torch .bin checkpoints use load_params)")
+    return out
+
+
+def load_params_streaming(model_dir: str, dtype="bfloat16",
+                          cfg: Optional[ModelConfig] = None,
+                          rope_on_slots: bool = False,
+                          shardings=None,
+                          ) -> Tuple[ModelConfig, dict]:
+    """Stream a (sharded) HF safetensors checkpoint into the stacked params
+    pytree WITHOUT materializing the whole state dict on host.
+
+    ``load_params`` reads every tensor into host numpy first — fine for 7B,
+    impossible for models larger than host RAM. Here each stacked leaf is
+    allocated ONCE on device (under ``shardings`` when given — the
+    NamedSharding pytree from ``parallel.sharding.param_shardings``) and
+    filled layer-by-layer with donated in-place row writes, so peak host
+    memory is ONE layer's largest tensor and peak device memory is the
+    final (sharded) params plus one staging row. This is the GSPMD answer
+    to the reference's staggered per-rank torch load
+    (models/TP_llama.py:89-114: rank r sleeps r*x seconds, then loads the
+    WHOLE model on every rank before slicing out its TP shard).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    if cfg is None:
+        cfg = config_from_hf(hf_cfg, rope_on_slots=rope_on_slots)
+    jdt = jnp.dtype(dtype)
+    fmap = _tensor_file_map(model_dir)
+    from safetensors import safe_open
+
+    def read(name: str) -> np.ndarray:
+        if name not in fmap:
+            name = name.removeprefix("model.")   # exports without prefix
+        with safe_open(fmap[name], framework="np") as sf:
+            return sf.get_tensor(name)
+
+    def leaf_shard(path: str):
+        if shardings is None:
+            return None
+        node = shardings
+        for k in path.split("."):
+            node = node[k]
+        return node
+
+    def put(path: str, arr: np.ndarray):
+        """Place one whole (non-stacked) tensor, converting on device."""
+        sh = leaf_shard(path)
+        conv = jax.jit(lambda x: x.astype(jdt), out_shardings=sh)
+        return conv(jnp.asarray(arr))
+
+    def stream_stack(path: str, fmt: str, transpose: bool) -> jax.Array:
+        """Build the [L, ...] stacked leaf by donated per-layer row writes
+        into a device buffer allocated once under the leaf's sharding."""
+        sh = leaf_shard(path)
+        row0 = read(fmt.format(0))
+        if transpose:
+            row0 = row0.T
+        shape = (cfg.num_layers,) + row0.shape
+        buf = jax.jit(lambda: jnp.zeros(shape, jdt), out_shardings=sh)()
+        write = jax.jit(
+            lambda b, row, i: b.at[i].set(row.astype(jdt)),
+            donate_argnums=(0,),
+            **({} if sh is None else {"out_shardings": sh}))
+        for i in range(cfg.num_layers):
+            row = row0 if i == 0 else read(fmt.format(i))
+            if transpose and i > 0:
+                row = row.T
+            buf = write(buf, jnp.asarray(np.ascontiguousarray(row)),
+                        jnp.int32(i))
+        return buf
+
+    L = "model.layers.{}."
+    layer_specs = {
+        "wq": (L + "self_attn.q_proj.weight", True),
+        "wk": (L + "self_attn.k_proj.weight", True),
+        "wv": (L + "self_attn.v_proj.weight", True),
+        "wo": (L + "self_attn.o_proj.weight", True),
+        "w_gate": (L + "mlp.gate_proj.weight", True),
+        "w_up": (L + "mlp.up_proj.weight", True),
+        "w_down": (L + "mlp.down_proj.weight", True),
+        "ln_attn": (L + "input_layernorm.weight", False),
+        "ln_mlp": (L + "post_attention_layernorm.weight", False),
+    }
+    params = {
+        "embed": put("embed", read("model.embed_tokens.weight")),
+        "layers": {k: stream_stack(f"layers.{k}", fmt, tr)
+                   for k, (fmt, tr) in layer_specs.items()},
+        "final_norm": put("final_norm", read("model.norm.weight")),
+    }
+    if cfg.tie_word_embeddings or "lm_head.weight" not in fmap:
+        tie = jax.jit(lambda e: e.T, out_shardings=leaf_shard("lm_head"))
+        params["lm_head"] = tie(params["embed"])
+    else:
+        params["lm_head"] = put("lm_head", read("lm_head.weight").T)
+    return cfg, params
+
+
 # Reference model zoo (test/offloading_TP.py:56-65): name -> HF repo id.
 MODEL_ZOO = {
     "llama-7b-128k": "NousResearch/Yarn-Llama-2-7b-128k",
