@@ -126,8 +126,14 @@ def load_model(spec: str, dtype, drafter: bool = False):
     path = hf.resolve_checkpoint(spec)
     # drafter checkpoints need StreamingLLM re-rotation semantics
     # (un-rotated key storage) — a framework choice no HF field encodes
-    cfg, params = hf.load_params(path, dtype=str(dtype.dtype if hasattr(
-        dtype, "dtype") else dtype), rope_on_slots=drafter)
+    dt = str(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    try:
+        # safetensors checkpoints stream tensor-by-tensor (host peak = one
+        # layer tensor); torch .bin checkpoints fall back to the full read
+        cfg, params = hf.load_params_streaming(path, dtype=dt,
+                                               rope_on_slots=drafter)
+    except FileNotFoundError:
+        cfg, params = hf.load_params(path, dtype=dt, rope_on_slots=drafter)
     tokenizer = None
     try:
         from transformers import AutoTokenizer
