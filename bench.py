@@ -738,6 +738,12 @@ def main() -> None:
             flaky = any(m in str(e) for m in (
                 "UNAVAILABLE", "transport", "response body closed",
                 "remote_compile", "DEADLINE"))
+            # a genuine HBM exhaustion also surfaces through the
+            # remote-compile path (HTTP 500 + allocation report) — it is
+            # deterministic, so retrying only wastes three compiles (r4
+            # planner-bench OOM burned ~8 min before raising)
+            if "RESOURCE_EXHAUSTED" in str(e) or "Largest program" in str(e):
+                flaky = False
             if not flaky or attempt == 2:
                 raise
             log(f"[bench] tunnel flake ({type(e).__name__}); rebuilding "
