@@ -50,3 +50,13 @@ def test_cli_batched_dpxtpxsp():
                     "--dp", "2", "--tp", "2", "--sp", "2"])
     assert res.tokens_per_sec > 0
     assert 0.0 <= res.acceptance_rate <= 1.0   # real rate, not NaN
+
+
+def test_cli_serve():
+    """Continuous-batching mode: 5 requests through 2 speculative slots,
+    every request completes at its requested length."""
+    done = cli.main(["--mode", "serve", *COMMON, "--num_prompts", "5",
+                     "--batch", "2", "--segment", "2",
+                     "--start_size", "4", "--draft_cache_budget", "19"])
+    assert len(done) == 5
+    assert all(r.done and len(r.out) == 12 for r in done)

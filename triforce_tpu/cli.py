@@ -6,6 +6,9 @@
     python -m triforce_tpu.cli --mode retrieval ...   # self-spec (no drafter)
     python -m triforce_tpu.cli --mode ar        ...   # autoregressive baseline
     python -m triforce_tpu.cli --mode tree      ...   # Sequoia tree spec
+    python -m triforce_tpu.cli --mode serve     ...   # continuous batching:
+        --num_prompts requests flow through --batch speculative slots
+        (admit -> fused batched spec segments -> retire on EOS/length)
 
 Models are either preset names (random weights — for perf work without
 checkpoints) or local HF checkpoint dirs / zoo names (models/hf.py). There is
@@ -23,7 +26,14 @@ def parse_args(argv=None):
         prog="triforce_tpu",
         description="TPU-native TriForce: hierarchical speculative decoding")
     p.add_argument("--mode", default="triforce",
-                   choices=["triforce", "retrieval", "ar", "tree"])
+                   choices=["triforce", "retrieval", "ar", "tree", "serve"])
+    p.add_argument("--serve_spec", "--serve-spec", default="retrieval",
+                   choices=["retrieval", "triforce"], dest="serve_spec",
+                   help="speculation hierarchy the serve slots run "
+                        "(triforce adds the drafter level)")
+    p.add_argument("--segment", type=int, default=4,
+                   help="fused spec steps per scheduler poll (mode=serve): "
+                        "admission/retire happen between segments")
     p.add_argument("--model", default="tiny-target",
                    help="config preset, HF checkpoint dir, or zoo name")
     p.add_argument("--draft", default="tiny-draft",
@@ -257,15 +267,25 @@ def main(argv=None):
         res = runs[0]
     else:
         d_cfg = d_params = None
-        if args.mode == "triforce":
+        with_draft = args.mode == "triforce" or (
+            args.mode == "serve" and args.serve_spec == "triforce")
+        if with_draft:
             d_cfg, d_params, _ = load_model(args.draft, dtype, drafter=True)
+        # serve slots keep decoding junk while idle (static-shape step, no
+        # per-row gating), so the cache needs headroom for one un-reset
+        # request lifetime of growth on top of the live one
+        headroom = 2 * (args.gen_len + args.segment * (spec.gamma + 2)) * \
+            (spec.gamma + 2) if args.mode == "serve" else \
+            2 * (args.gen_len + spec.gamma + 2)
         engine = Engine(
             t_cfg, spec, t_params, draft_cfg=d_cfg, draft_params=d_params,
             prefill=args.prefill,
-            max_cache_len=args.prefill + 2 * (args.gen_len + spec.gamma + 2),
+            max_cache_len=args.prefill + headroom,
             dtype=dtype, kv_quant=args.kv_dtype == "int8",
             weight_quant=args.weight_dtype == "int8",
             eos_token_id=eos_ids, mesh=mesh, shard_seq=args.sp > 1)
+        if args.mode == "serve":
+            return _run_serve(engine, args, prompt_ids)
         if args.batch > 1 and args.mode in ("retrieval", "triforce"):
             runs = [_run_batched(engine, args, prompts)]
             res = runs[0]
@@ -375,6 +395,38 @@ def _run_batched(engine, args, prompts):
         max(int(counters[:, 1].sum()), 1),
         avg_tokens_per_step=total / (b * steps),
         steps=steps, wall_s=wall)
+
+
+def _run_serve(engine, args, prompt_ids):
+    """--mode serve: continuous speculative batching. ``--num_prompts``
+    requests flow through ``--batch`` slots (SpecScheduler: admit ->
+    ``--segment`` fused batched spec steps -> retire on EOS/length).
+    Per-row trajectories equal their single-sequence runs (same rid seed)."""
+    import time
+
+    import numpy as np
+
+    from .batched_spec import SpecScheduler
+    from .batching import Request
+
+    sched = SpecScheduler(engine, mode=args.serve_spec, slots=args.batch,
+                          segment=args.segment, seed=args.seed)
+    t0 = time.perf_counter()
+    for i, pids in enumerate(prompt_ids):
+        sched.submit(Request(rid=args.seed + i,
+                             prompt=np.asarray(pids).reshape(-1),
+                             max_new_tokens=args.gen_len))
+    done = sched.run()
+    wall = time.perf_counter() - t0
+    total = sum(len(r.out) for r in done)
+    for r in sorted(done, key=lambda r: r.rid):
+        print(f"[serve] request {r.rid}: {len(r.out)} tokens"
+              + (" (eos)" if len(r.out) < args.gen_len else ""))
+    print(f"\n[serve] {len(done)}/{len(prompt_ids)} requests done, "
+          f"{total} tokens in {wall:.1f}s = {total / wall:.2f} tokens/s "
+          f"aggregate ({args.batch} slots, {args.serve_spec} spec, "
+          f"segment {args.segment})")
+    return done
 
 
 if __name__ == "__main__":
