@@ -447,24 +447,35 @@ def run_planner(preset: str, args):
            "acceptance_vector_measured": [round(float(x), 4)
                                           for x in p_meas]}
 
+    def flat_cost_at(p, gamma):
+        # the planner's own FLAT-chain prediction: flat retrieval mode is a
+        # (gamma+1)-node branch-1 "tree" (gamma middle steps + 1 verify)
+        T, _ = planner.plan_tree(p, gamma + 1, gamma + 1)
+        e_flat = max(float(T[gamma + 1, gamma + 1, 1]), 1e-9)
+        return (gamma * pt["middle_step"] + pt["target_verify"]) / e_flat
+
     def decide(p, tag):
         gm, cost, (m, depth) = planner.choose_tree(
             p, sizes, vt, draft_time=pt["middle_step"],
             max_depth=args.tree_depth)
-        # the planner's own FLAT-chain prediction: flat retrieval mode is a
-        # (gamma+1)-node branch-1 "tree" (gamma middle steps + 1 verify)
-        gamma = args.gamma
-        T, _ = planner.plan_tree(p, gamma + 1, gamma + 1)
-        e_flat = max(float(T[gamma + 1, gamma + 1, 1]), 1e-9)
-        flat_cost = (gamma * pt["middle_step"] + pt["target_verify"]) \
-            / e_flat
+        flat_cost = flat_cost_at(p, args.gamma)
+        # the planner also CHOOSES the flat schedule's gamma from the same
+        # measured times (the reference hand-picks gamma=6; here the
+        # operating point is the planner's own output)
+        sweep = {g: flat_cost_at(p, g) for g in range(2, 17)}
+        g_best = min(sweep, key=sweep.get)
         row = {"p": tag, "chosen_size": int(m), "chosen_depth": int(depth),
                "tree_pred_ms_per_token": round(1e3 * cost, 3),
                "flat_pred_ms_per_token": round(1e3 * flat_cost, 3),
+               "flat_gamma_sweep_ms_per_token": {
+                   str(g): round(1e3 * c, 3) for g, c in sweep.items()},
+               "flat_best_gamma": int(g_best),
+               "flat_best_pred_ms_per_token": round(1e3 * sweep[g_best], 3),
                "decision": "tree" if cost < flat_cost else "flat"}
         log(f"[bench] planner[{tag}]: tree {m} nodes depth {depth} -> "
             f"{1e3 * cost:.2f} ms/tok vs flat {1e3 * flat_cost:.2f} "
-            f"-> {row['decision'].upper()} wins")
+            f"-> {row['decision'].upper()} wins; best flat gamma "
+            f"{g_best} ({1e3 * sweep[g_best]:.2f} ms/tok)")
         return row, gm, depth
 
     plans = []
