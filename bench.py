@@ -877,7 +877,11 @@ def _run(args):
                "detail": {"kv_dtype": args.kv_dtype,
                           "weights": args.weights, "alpha": args.alpha,
                           "preset": preset, "backend": backend,
-                          "batched": _round_tree(bt)}}
+                          "batched": _round_tree(bt),
+                          # --modes batched,planner: keep the planner's
+                          # (minutes of) measurements in the output too
+                          **({"planner": _round_tree(results["planner"])}
+                             if "planner" in results else {})}}
         return out
     speedup = head["tokens_per_sec"] / results["ar"]["tokens_per_sec"]
     baseline = 2.2  # reference on-chip E2E speedup (README.md:49-55)

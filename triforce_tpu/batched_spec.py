@@ -256,6 +256,19 @@ class SpecScheduler:
     production deployment would gate dead rows instead.
     """
 
+    @staticmethod
+    def required_headroom(gen_len: int, segment: int, gamma: int) -> int:
+        """Cache capacity (beyond prefill) a slot can consume between
+        admissions. Idle/retired slots keep decoding junk ungated (the
+        step program stays static-shape), so a row's cache can grow for
+        up to ~two request lifetimes before an admission resets it: its
+        own gen_len of segments plus the tail wait while the last peer
+        finishes, each segment appending <= segment*(gamma+2) entries.
+        Callers sizing an Engine for serving must use this bound — it is
+        coupled to the scheduler's no-gating design, and shrinks if dead
+        rows are ever gated."""
+        return 2 * (gen_len + segment * (gamma + 2)) * (gamma + 2)
+
     def __init__(self, engine: Engine, mode: str = "retrieval", *,
                  slots: int = 4, segment: int = 4, seed: int = 0,
                  force_accept=None):

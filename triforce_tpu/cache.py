@@ -305,6 +305,41 @@ def gather_kv_incremental(kv: KVCache, accept_idx: jax.Array,
                       seq_len=offset + n_accept.astype(jnp.int32), **extra)
 
 
+def _rolling_window_blocks(base, budget: int, t_new: int, n_new,
+                           region_len: int):
+    """Slot math of the rolling-window tail refresh, shared by
+    ``retrieval_tail_refresh`` (flat) and ``batched_commit_and_refresh``
+    (the deferred batched writeback) so the wrap/clamp subtleties exist
+    ONCE. Generated token g lives at slot ``budget - 1 - (g mod budget)``;
+    the ``t_new`` tokens starting at window offset ``base`` therefore
+    cover at most TWO contiguous slot blocks (the block that wraps splits
+    at the window edge). For each block returns ``(lo_c, valid, qc)``:
+
+    - ``lo_c``: clamped block start (an edge block near slot 0 / the
+      region top keeps its valid overlap — clamping shifts which flipped
+      token each position sources, accounted for below);
+    - ``valid``: per-position write mask (position in range, token index
+      real — ``< n_new`` — and inside this block's window half);
+    - ``qc``: clamped FLIPPED source index — position p writes flipped
+      token ``qc[p]``, i.e. token ``j = t_new - 1 - q``.
+    """
+    js = jnp.arange(t_new)
+    loA = budget - base - t_new          # unwrapped block (may underrun)
+    blocks = []
+    for wrapped in (False, True):
+        lo = loA + (budget if wrapped else 0)
+        lo_c = jnp.clip(lo, 0, region_len - t_new)
+        shift = lo - lo_c
+        q = js - shift                   # flipped idx at position p
+        jtok = t_new - 1 - q             # token idx at position p
+        in_win = (base + jtok >= budget) if wrapped \
+            else (base + jtok < budget)
+        valid = (q >= 0) & (q < t_new) & (jtok >= 0) & (jtok < n_new) \
+            & in_win
+        blocks.append((lo_c, valid, jnp.clip(q, 0, t_new - 1)))
+    return blocks
+
+
 def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
                            prefill: int, new_from: jax.Array,
                            max_new: Optional[int] = None) -> RetrievalCache:
@@ -336,9 +371,6 @@ def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
     # carry.
     W = budget       # window = the whole budget region (reference parity)
     base = (new_from - prefill) % W
-    js = jnp.arange(max_new)          # token j = new_from + j
-    loA = budget - base - max_new     # unwrapped block (may underrun by <W)
-    loB = loA + W                     # wrapped block (top of the region)
 
     def one(rc, fc):
         toks = jax.lax.dynamic_slice_in_dim(fc, new_from, max_new, axis=3)
@@ -348,20 +380,9 @@ def retrieval_tail_refresh(rkv: RetrievalCache, kv: KVCache, spec: SpecConfig,
         tail = toks.shape[4:]
         rows = toks.reshape(lead, max_new, *tail)  # flat 2-D gather (layout)
         out = rc
-        for lo, in_win in ((loA, base + js < W), (loB, base + js >= W)):
-            # a block whose lo clamps still writes the right slots: shift
-            # the flipped tokens and the mask by the clamp delta (an edge
-            # block near slot 0 / the region top keeps its valid overlap)
-            lo_c = jnp.clip(lo, 0, rc.shape[3] - max_new)
-            shift = lo - lo_c
-            # clamped position p covers slot lo_c + p = lo + (p - shift):
-            # its unclamped position is p - shift
-            q = jnp.arange(max_new) - shift      # flipped idx at position p
-            j = max_new - 1 - q                  # token idx at position p
-            valid = (q >= 0) & (q < max_new) & (j >= 0) & (j < n_new)
-            valid = valid & jnp.take(in_win, jnp.clip(j, 0, max_new - 1))
-            toks_c = rows[:, jnp.clip(q, 0, max_new - 1)].reshape(
-                toks.shape)
+        for lo_c, valid, qc in _rolling_window_blocks(
+                base, W, max_new, n_new, rc.shape[3]):
+            toks_c = rows[:, qc].reshape(toks.shape)
             sel = valid.reshape((1,) * 3 + (max_new,)
                                 + (1,) * (rc.ndim - 4))
             old = jax.lax.dynamic_slice_in_dim(out, lo_c, max_new, axis=3)
@@ -410,7 +431,6 @@ def batched_commit_and_refresh(kv: KVCache, rkv: RetrievalCache,
     cks, cvs = kv.k_scale, kv.v_scale
     rk, rv = rkv.k, rkv.v
     rks, rvs = rkv.k_scale, rkv.v_scale
-    js = jnp.arange(t_new)
     rb = rk.shape[4]
 
     for b in range(b_rows):
@@ -425,7 +445,8 @@ def batched_commit_and_refresh(kv: KVCache, rkv: RetrievalCache,
             cvs = jax.lax.dynamic_update_slice(cvs, vs[b:b + 1], idx5)
 
         # rolling-window tail refresh for this row, sourced from the stack
-        # (same slot math as retrieval_tail_refresh, W = budget)
+        # (the slot math is _rolling_window_blocks — ONE copy, shared with
+        # retrieval_tail_refresh)
         n_new = kv.seq_len[b].astype(jnp.int32) - start
         base = (start - prefill) % budget
         fk = jnp.flip(k8[b:b + 1], axis=4)
@@ -433,18 +454,8 @@ def batched_commit_and_refresh(kv: KVCache, rkv: RetrievalCache,
         if rkv.quantized:
             fks = jnp.flip(ks[b:b + 1], axis=4)
             fvs = jnp.flip(vs[b:b + 1], axis=4)
-        loA = budget - base - t_new
-        for wrapped in (False, True):
-            lo = loA + (budget if wrapped else 0)
-            lo_c = jnp.clip(lo, 0, rb - t_new)
-            shift = lo - lo_c
-            q = js - shift                   # flipped idx at position p
-            jtok = t_new - 1 - q             # token idx at position p
-            in_win = (base + jtok >= budget) if wrapped \
-                else (base + jtok < budget)
-            valid = (q >= 0) & (q < t_new) & (jtok >= 0) \
-                & (jtok < n_new) & in_win
-            qc = jnp.clip(q, 0, t_new - 1)
+        for lo_c, valid, qc in _rolling_window_blocks(
+                base, budget, t_new, n_new, rb):
             sel6 = valid.reshape((1, 1, 1, 1, t_new, 1))
             ridx6 = (bi, zero, zero, zero, lo_c, zero)
             sz6 = (1,) + rk.shape[1:4] + (t_new, rk.shape[5])

@@ -142,7 +142,10 @@ def load_model(spec: str, dtype, drafter: bool = False):
         # layer tensor); torch .bin checkpoints fall back to the full read
         cfg, params = hf.load_params_streaming(path, dtype=dt,
                                                rope_on_slots=drafter)
-    except FileNotFoundError:
+    except FileNotFoundError as e:
+        if "no safetensors shards" not in str(e):
+            raise    # a MISSING shard mid-stream is a real error, not
+            # "use the .bin path" — eager load would just host-OOM/KeyError
         cfg, params = hf.load_params(path, dtype=dt, rope_on_slots=drafter)
     tokenizer = None
     try:
@@ -195,7 +198,7 @@ def main(argv=None):
                       middle_chain=args.middle_chain,
                       middle_trips=args.middle_trips)
 
-    if args.mode in ("triforce", "retrieval") and \
+    if args.mode in ("triforce", "retrieval", "serve") and \
             args.gen_len > args.budget:
         print(f"[warn] gen_len {args.gen_len} exceeds budget "
               f"{args.budget}: the retrieval tail is a rolling window of "
@@ -271,12 +274,14 @@ def main(argv=None):
             args.mode == "serve" and args.serve_spec == "triforce")
         if with_draft:
             d_cfg, d_params, _ = load_model(args.draft, dtype, drafter=True)
-        # serve slots keep decoding junk while idle (static-shape step, no
-        # per-row gating), so the cache needs headroom for one un-reset
-        # request lifetime of growth on top of the live one
-        headroom = 2 * (args.gen_len + args.segment * (spec.gamma + 2)) * \
-            (spec.gamma + 2) if args.mode == "serve" else \
-            2 * (args.gen_len + spec.gamma + 2)
+        if args.mode == "serve":
+            # serve slots keep decoding junk while idle — the bound lives
+            # with the scheduler whose no-gating design implies it
+            from .batched_spec import SpecScheduler
+            headroom = SpecScheduler.required_headroom(
+                args.gen_len, args.segment, spec.gamma)
+        else:
+            headroom = 2 * (args.gen_len + spec.gamma + 2)
         engine = Engine(
             t_cfg, spec, t_params, draft_cfg=d_cfg, draft_params=d_params,
             prefill=args.prefill,
