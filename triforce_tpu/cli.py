@@ -120,6 +120,12 @@ def parse_args(argv=None):
     p.add_argument("--grow_map", default="",
                    help="planned grow-map JSON (tree/planner.py); overrides "
                         "--tree_size/--tree_depth/--tree_accept")
+    p.add_argument("--save_ckpt", "--save-ckpt", default="",
+                   dest="save_ckpt",
+                   help="after loading --model, save it as a native "
+                        "sharded checkpoint (models/ckpt.py) at this dir; "
+                        "later runs pass the dir as --model and restore "
+                        "shards directly into device placement")
     return p.parse_args(argv)
 
 
@@ -127,6 +133,7 @@ def load_model(spec: str, dtype, drafter: bool = False):
     """Resolve preset name -> random params, else HF checkpoint."""
     import jax
     from . import config as C
+    from .models import ckpt as ckpt_mod
     from .models import hf, llama
 
     if spec in C.PRESETS:
@@ -134,6 +141,17 @@ def load_model(spec: str, dtype, drafter: bool = False):
         params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
         return cfg, params, None
     path = hf.resolve_checkpoint(spec)
+    if ckpt_mod.is_native_checkpoint(path):
+        # converted-once native sharded checkpoint (models/ckpt.py):
+        # tensors restore at their stored dtype, config rides along
+        cfg, params = ckpt_mod.load_checkpoint(path)
+        tokenizer = None
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cfg, params, tokenizer
     # drafter checkpoints need StreamingLLM re-rotation semantics
     # (un-rotated key storage) — a framework choice no HF field encodes
     dt = str(dtype.dtype if hasattr(dtype, "dtype") else dtype)
@@ -208,6 +226,10 @@ def main(argv=None):
               f"unaffected — the full-cache verify sees everything)")
 
     t_cfg, t_params, tokenizer = load_model(args.model, dtype)
+    if args.save_ckpt:
+        from .models import ckpt as ckpt_mod
+        ckpt_mod.save_checkpoint(args.save_ckpt, t_cfg, t_params)
+        print(f"[ckpt] saved native checkpoint to {args.save_ckpt}")
 
     # --tp/--sp: build the device mesh and shard params + decode state.
     # Replaces the reference's torchrun/NCCL launch (test/offloading_TP.py);
