@@ -666,6 +666,62 @@ def run_batched(preset: str, args, rows: int = 4):
     return res
 
 
+def run_serve(preset: str, args, slots: int = 4, n_requests: int = 8):
+    """Continuous speculative batching (SpecScheduler): ``n_requests``
+    requests flow through ``slots`` speculative slots — admission
+    (single-row prefill + row write), fused batched spec segments, retire
+    on length. Measures aggregate SERVING throughput including admission
+    churn, at the same shorter context as run_batched (slot caches must
+    fit HBM) and the same controlled acceptance. The fixed-batch
+    run_batched number is the zero-churn ceiling; the reference has no
+    serving story at all (bsz=1 assert, models/TP_llama.py:71)."""
+    import copy
+
+    from triforce_tpu.batched_spec import SpecScheduler
+    from triforce_tpu.batching import Request
+
+    A = copy.copy(args)
+    A.prefill = 15872 if preset == "7b-proxy" else 64
+    A.gen_len = 64 if preset == "7b-proxy" else 12
+    if A.trips == 0:
+        k = max(1, min(A.chain if A.chain > 0 else A.gamma, A.gamma))
+        A.trips = -(-A.gamma // (k + 1)) + 1
+    engine, prefill, gen_len = build_engine(
+        preset, A, with_draft=True, weight_quant=args.weights == "int8")
+
+    def submit_all(sched, n, max_new):
+        for i in range(n):
+            sched.submit(Request(
+                rid=300 + i,
+                prompt=np.asarray(make_ids(engine, 300 + i)).reshape(-1),
+                max_new_tokens=max_new))
+
+    # compile warm-up: admission prefill + row write + decode segment
+    warm = SpecScheduler(engine, mode="triforce", slots=slots,
+                         force_accept=args.alpha)
+    submit_all(warm, 1, 4)
+    warm.run(max_wall_s=1200)
+    del warm
+    _settle()
+
+    sched = SpecScheduler(engine, mode="triforce", slots=slots,
+                          force_accept=args.alpha)
+    submit_all(sched, n_requests, gen_len)
+    t0 = time.perf_counter()
+    done = sched.run(max_wall_s=2400)
+    wall = time.perf_counter() - t0
+    total = sum(len(r.out) for r in done)
+    res = {"slots": slots, "n_requests": n_requests, "prefill": prefill,
+           "gen_len": gen_len, "completed": len(done),
+           "total_tokens": total, "wall_s": round(wall, 3),
+           "aggregate_tokens_per_sec": round(total / wall, 2)}
+    log(f"[bench] serve: {len(done)}/{n_requests} requests, {total} tokens "
+        f"in {wall:.1f}s = {total / wall:.1f} tok/s aggregate "
+        f"({slots} slots, incl. admission prefills)")
+    del engine, sched
+    return res
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="auto",
@@ -688,7 +744,8 @@ def main() -> None:
                         "weight stream, which the middle loop is bound by)")
     p.add_argument("--modes", default="retrieval,triforce,batched,planner",
                    help="comma list of retrieval | triforce | tree | "
-                        "batched | planner. The default covers the headline "
+                        "batched | planner | serve (continuous-batching "
+                        "scheduler throughput). The default covers the headline "
                         "flat modes plus the beyond-reference batched row "
                         "and the measured-times planner decision (tree "
                         "at the reference's own 512/12288 scale is opt-in "
@@ -782,7 +839,9 @@ def _run(args):
     tree_mode = "tree" in modes
     batched_mode = "batched" in modes
     planner_mode = "planner" in modes
-    modes = [m for m in modes if m not in ("tree", "batched", "planner")]
+    serve_mode = "serve" in modes
+    modes = [m for m in modes
+             if m not in ("tree", "batched", "planner", "serve")]
     engine = None
     if modes or tree_mode:
         # flat/tree runs need the AR baseline at the preset prefill;
@@ -821,6 +880,12 @@ def _run(args):
         del engine
         _settle(20)
         results["planner"] = run_planner(preset, args)
+        engine = None
+
+    if serve_mode:
+        del engine
+        _settle(20)
+        results["serve"] = run_serve(preset, args)
         engine = None
 
     if args.weight_ar:
@@ -865,6 +930,13 @@ def _run(args):
                "detail": {"preset": preset, "backend": backend,
                           "planner": _round_tree(pl)}}
         return out
+    elif "serve" in results and "batched" not in results:
+        sv = results["serve"]
+        return {"metric": "serve_aggregate_tokens_per_sec",
+                "value": sv["aggregate_tokens_per_sec"], "unit": "tok/s",
+                "vs_baseline": 0.0,   # the reference cannot serve (bsz=1)
+                "detail": {"preset": preset, "backend": backend,
+                           "serve": _round_tree(sv)}}
     else:
         # batched-only run: the AR baseline was measured at the PRESET
         # prefill while run_batched uses a shorter context (B caches must
@@ -878,10 +950,11 @@ def _run(args):
                           "weights": args.weights, "alpha": args.alpha,
                           "preset": preset, "backend": backend,
                           "batched": _round_tree(bt),
-                          # --modes batched,planner: keep the planner's
-                          # (minutes of) measurements in the output too
+                          # combo runs: keep every measured mode's record
                           **({"planner": _round_tree(results["planner"])}
-                             if "planner" in results else {})}}
+                             if "planner" in results else {}),
+                          **({"serve": _round_tree(results["serve"])}
+                             if "serve" in results else {})}}
         return out
     speedup = head["tokens_per_sec"] / results["ar"]["tokens_per_sec"]
     baseline = 2.2  # reference on-chip E2E speedup (README.md:49-55)
@@ -917,6 +990,8 @@ def _run(args):
                if "batched" in results else {}),
             **({"planner": _round_tree(results["planner"])}
                if "planner" in results else {}),
+            **({"serve": _round_tree(results["serve"])}
+               if "serve" in results else {}),
         },
     }
     return out
