@@ -84,3 +84,19 @@ def test_lwm_chat_template():
     ids = data.build_chat_input_lwm(_Tok(), "x" * 500, prefill=300)
     assert ids.shape[0] == 1
     assert ids.shape[1] > 100
+
+
+def test_narrativeqa_fixture_demo_lwm():
+    """The NarrativeQA-format fixture drives the 'demo'/'lwm' branches
+    offline: the LWM chat template (reference data/dataset.py:9-15) wraps
+    each fixture document; 'demo' takes one, 'lwm' takes all available."""
+    demo = data.get_dataset("demo", _Tok(), data_dir=FIXTURE_DIR)
+    assert len(demo) == 1
+    lwm = data.get_dataset("lwm", _Tok(), data_dir=FIXTURE_DIR)
+    assert len(lwm) == 2
+    dec = _Tok().decode(lwm[0][0])
+    for p in demo + lwm:
+        assert p.shape[0] == 1 and p.shape[1] > 100
+    # the template's fixed frame must surround the excerpt
+    enc_frame = data.build_chat_input_lwm(_Tok(), "x")
+    assert enc_frame.shape[1] > 80

@@ -45,7 +45,10 @@ def _pg19_prompts(tokenizer, limit: Optional[int],
     reference: dataset.py:18-52."""
     import json
 
-    files = sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []
+    files = sorted(f for f in os.listdir(data_dir)
+                   if f != "narrativeqa.json") \
+        if os.path.isdir(data_dir) else []   # narrativeqa.json belongs to
+    #                                          the demo/lwm branch
     if not files:
         raise FileNotFoundError(
             f"no PG-19 JSON files under {data_dir!r}; place "
@@ -101,9 +104,22 @@ def get_dataset(name: str, tokenizer=None, datalen: Optional[int] = None,
     if name == "one-shot":
         return _pg19_prompts(tokenizer, 1, data_dir)
     if name in ("demo", "lwm"):
+        idxs = _NARRATIVEQA_IDX[2:3] if name == "demo" else _NARRATIVEQA_IDX
+        fx = os.path.join(data_dir, "narrativeqa.json")
+        if os.path.isfile(fx):
+            # offline NarrativeQA-format fixture ({'text': ...} per line):
+            # same template path without the HF datasets cache (no egress
+            # here); the exact-127K lwm filter only applies to the real
+            # corpus, where it selects full-length books (dataset.py:66-70)
+            import json
+            with open(fx) as f:
+                docs = [json.loads(line)["text"] for line in f
+                        if line.strip()]
+            docs = docs[: len(idxs)]
+            return [build_chat_input_lwm(tokenizer, t[3: 1024 * 500])
+                    for t in docs]
         from datasets import load_dataset  # needs network or local cache
         ds = load_dataset("narrativeqa")
-        idxs = _NARRATIVEQA_IDX[2:3] if name == "demo" else _NARRATIVEQA_IDX
         out = []
         for i in idxs:
             text = ds["train"][i]["document"]["text"][3: 1024 * 500]
