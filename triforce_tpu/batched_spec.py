@@ -311,6 +311,8 @@ class SpecScheduler:
             ids = jnp.asarray(req.prompt, jnp.int32)
             if ids.ndim == 1:
                 ids = ids[None]
+            if hasattr(self, "stats"):
+                self.stats["prefill_tokens"] += int(ids.shape[-1])
             row = eng.init_state(jax.random.PRNGKey(req.rid))
             row = eng.prefill_target(row, ids)
             if self.mode == "triforce":
@@ -322,16 +324,28 @@ class SpecScheduler:
 
     def run(self, max_wall_s: float = 600.0):
         """Drive until queue + slots drain (or the wall clock expires);
-        returns finished requests in completion order."""
+        returns finished requests in completion order. ``self.stats``
+        afterwards splits the wall into admission (single-row prefills —
+        each processes a whole prompt) vs decode segments, so serving
+        throughput can be quoted honestly: at long prompts the wall is
+        prefill-dominated and decode-segment throughput is the number
+        comparable to the fixed-batch ceiling."""
         import time as _time
         done = []
+        self.stats = {"admit_s": 0.0, "decode_s": 0.0,
+                      "prefill_tokens": 0}
         t0 = _time.perf_counter()
         while (self.queue or any(r is not None for r in self.slot_req)) \
                 and _time.perf_counter() - t0 < max_wall_s:
+            ta = _time.perf_counter()
             self._admit()
+            jax.block_until_ready(self.state.next_token)
+            td = _time.perf_counter()
+            self.stats["admit_s"] += td - ta
             self.state, toks, ns, _c, eos = self.bat.decode(self.state,
                                                             self.segment)
             toks = np.asarray(toks)
+            self.stats["decode_s"] += _time.perf_counter() - td
             ns = np.asarray(ns)
             eos = np.asarray(eos)
             for slot, req in enumerate(self.slot_req):
