@@ -696,16 +696,16 @@ def run_serve(preset: str, args, slots: int = 4, n_requests: int = 8):
                 prompt=np.asarray(make_ids(engine, 300 + i)).reshape(-1),
                 max_new_tokens=max_new))
 
-    # compile warm-up: admission prefill + row write + decode segment
-    warm = SpecScheduler(engine, mode="triforce", slots=slots,
-                         force_accept=args.alpha)
-    submit_all(warm, 1, 4)
-    warm.run(max_wall_s=1200)
-    del warm
-    _settle()
-
+    # ONE scheduler for warm-up AND the timed run: the batched-step jit
+    # closures live on the scheduler's BatchedSpecEngine instance, so a
+    # fresh scheduler would recompile the fused segment program inside the
+    # timed region (r4 serve-bench finding: 31.7 s "decode" was ~25 s of
+    # compile)
     sched = SpecScheduler(engine, mode="triforce", slots=slots,
                           force_accept=args.alpha)
+    submit_all(sched, 1, 4)
+    sched.run(max_wall_s=1200)
+    _settle()
     submit_all(sched, n_requests, gen_len)
     t0 = time.perf_counter()
     done = sched.run(max_wall_s=2400)
