@@ -54,40 +54,49 @@ def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
 
 
 def top_p_filter_fast(logits: jnp.ndarray, top_p: float,
-                      iters: int = 24) -> jnp.ndarray:
-    """Sort-free nucleus filter: binary-search the probability threshold
+                      passes: int = 4, grid: int = 64) -> jnp.ndarray:
+    """Sort-free nucleus filter: grid-refine the probability threshold
     whose upper level set has mass > top_p, then keep that set.
 
     A top-p set is always an upper level set of the distribution (up to
     exact fp ties, which have measure ~0 at fp32), so this matches the
     sort-based filter while replacing an O(V log^2 V) bitonic sort with
-    ``iters`` masked reductions — the sort is the single most expensive op
-    in the speculation inner loop on TPU (norm_logits runs gamma+1 times
-    per step).
+    ``passes`` wide masked reductions. Each pass evaluates the level-set
+    mass at ``grid`` thresholds in ONE fused reduction over the vocab and
+    narrows [lo, hi) by a factor of ``grid``; 4 passes of 64 reach
+    pmax * 64^-4 = 2^-24 — the same fp32 resolution as a 24-iteration
+    binary search at 1/6th the sequential depth (the search was
+    latency-bound: the speculation step's sampling glue was ~3.9 ms/step,
+    probes/_r4_glue.py). grid=64 keeps the per-pass [.., V, G] compare
+    small enough that batched-row shapes do not blow HBM traffic
+    (probes/_r4_topp_sweep.py: 256-wide grids materialize ~0.25-1 GB/s
+    of intermediate at [4, 8, V] and lose to the binary search there).
     """
     if top_p <= 0.0 or top_p >= 1.0:
         return logits
     probs = jax.nn.softmax(logits, axis=-1)
     pmax = probs.max(axis=-1, keepdims=True)
 
-    def mass_ge(tau):
-        return jnp.sum(jnp.where(probs >= tau, probs, 0.0), axis=-1,
-                       keepdims=True)
-
-    # invariant: mass(lo) > top_p >= mass(hi)  (hi above the max keeps only
-    # nothing; lo=0 keeps everything)
+    # invariant: mass(lo) > top_p >= mass(hi)  (lo=0 keeps everything;
+    # hi above the max keeps nothing)
     lo = jnp.zeros_like(pmax)
     hi = pmax + 1e-6
-
-    def body(_, c):
-        lo, hi = c
-        mid = 0.5 * (lo + hi)
-        keep_more = mass_ge(mid) > top_p
-        return jnp.where(keep_more, mid, lo), jnp.where(keep_more, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    # lo is the largest threshold whose level set still has mass > top_p;
-    # that level set is exactly the reference's kept prefix
+    frac = jnp.arange(grid, dtype=probs.dtype) / grid   # [G): tau grid
+    for _ in range(passes):
+        taus = lo + (hi - lo) * frac                    # [..., G]
+        # mass of the level set at every grid threshold, one fused pass:
+        # [..., V, G] broadcast-compare reduced over V (XLA keeps the G
+        # accumulators in registers; nothing materialises)
+        mass = jnp.sum(jnp.where(probs[..., :, None] >= taus[..., None, :],
+                                 probs[..., :, None], 0.0), axis=-2)
+        # taus ascend => mass non-increasing; j = last grid point with
+        # mass > top_p (j >= 0 since taus[0] = lo keeps the invariant)
+        j = jnp.sum(mass > top_p, axis=-1, keepdims=True) - 1
+        step = (hi - lo) / grid
+        lo = lo + step * j
+        hi = lo + step
+    # lo is (within fp32) the largest threshold whose level set still has
+    # mass > top_p; that level set is exactly the reference's kept prefix
     return jnp.where(probs >= lo, logits, _NEG_INF)
 
 
