@@ -758,7 +758,8 @@ def main() -> None:
                         "speculation — same dtype both sides, so the "
                         "speedup stays apples-to-apples; int8 halves the "
                         "weight stream, which the middle loop is bound by)")
-    p.add_argument("--modes", default="retrieval,triforce,batched,planner",
+    p.add_argument("--modes",
+                   default="retrieval,triforce,batched,planner,serve",
                    help="comma list of retrieval | triforce | tree | "
                         "batched | planner | serve (continuous-batching "
                         "scheduler throughput). The default covers the headline "
