@@ -385,3 +385,34 @@ def test_batched_deferred_writeback_across_budget_wrap():
         np.testing.assert_array_equal(
             np.asarray(jax.tree.leaves(ref_st.rkv)[0]),
             np.asarray(jax.tree.leaves(st.rkv)[0][r]))
+
+
+def test_spec_scheduler_dp_mesh():
+    """Continuous batching over a data-parallel mesh: slot rows shard over
+    dp=2 devices; every served output equals its single-sequence run."""
+    from triforce_tpu.batched_spec import SpecScheduler
+    from triforce_tpu.batching import Request
+    from triforce_tpu.parallel import mesh as mesh_mod
+    from triforce_tpu import decoding
+
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    engine = Engine(TCFG, SPEC, t_params, prefill=PREFILL,
+                    max_cache_len=PREFILL + 256, dtype=jnp.float32,
+                    prefill_chunk=16, donate=True)
+    m = mesh_mod.make_mesh(dp=2)
+    max_new = 8
+    prompts = [np.asarray(jax.random.randint(
+        jax.random.PRNGKey(90 + i), (PREFILL,), 0, TCFG.vocab_size))
+        for i in range(4)]
+    sched = SpecScheduler(engine, mode="retrieval", slots=2, segment=2,
+                          mesh=m)
+    for i, p in enumerate(prompts):
+        sched.submit(Request(rid=i, prompt=p, max_new_tokens=max_new))
+    done = sched.run(max_wall_s=600)
+    assert len(done) == 4 and all(r.done for r in done)
+    for i, p in enumerate(prompts):
+        solo = decoding.retrieval_spec(
+            engine, jnp.asarray(p)[None], max_len=max_new + 8, seed=i)
+        req = next(r for r in done if r.rid == i)
+        assert req.out == solo.tokens[:max_new], (i, req.out)

@@ -271,18 +271,25 @@ class SpecScheduler:
 
     def __init__(self, engine: Engine, mode: str = "retrieval", *,
                  slots: int = 4, segment: int = 4, seed: int = 0,
-                 force_accept=None):
+                 force_accept=None, mesh=None):
         self.engine = engine
         self.mode = mode
         self.slots = slots
         self.segment = segment
         self.bat = BatchedSpecEngine(engine, mode=mode, donate=True,
-                                     force_accept=force_accept)
+                                     force_accept=force_accept, mesh=mesh)
         # stacked pool state: B blank rows (blank = fresh init_state; junk
         # decode from an empty cache is harmless and replaced on admission)
         self.state = stack_states(
             [engine.init_state(jax.random.PRNGKey(seed * 1000 + i))
              for i in range(slots)])
+        if self.bat.mesh is not None and not self.bat._composed:
+            # data-parallel serving: slot rows shard over the dp axis (the
+            # admission row-write DUSes into the sharded pool under GSPMD)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert slots % self.bat._dp == 0, (slots, self.bat._dp)
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.bat.mesh, P("dp")))
         self.slot_req = [None] * slots
         self.queue = []
         self._eos_ids = engine.eos_token_id

@@ -436,8 +436,14 @@ def _run_serve(engine, args, prompt_ids):
     from .batched_spec import SpecScheduler
     from .batching import Request
 
+    dp_mesh = None
+    if engine.mesh is None and args.dp > 1:
+        # data-parallel serving: slot rows shard over a dp mesh
+        from .parallel import mesh as mesh_mod
+        dp_mesh = mesh_mod.make_mesh(dp=args.dp)
     sched = SpecScheduler(engine, mode=args.serve_spec, slots=args.batch,
-                          segment=args.segment, seed=args.seed)
+                          segment=args.segment, seed=args.seed,
+                          mesh=dp_mesh)
     t0 = time.perf_counter()
     for i, pids in enumerate(prompt_ids):
         sched.submit(Request(rid=args.seed + i,
