@@ -1,1 +1,1 @@
-from . import llama, rope
+from . import ckpt, hf, llama, rope
