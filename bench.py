@@ -464,6 +464,10 @@ def run_planner(preset: str, args):
         # operating point is the planner's own output)
         sweep = {g: flat_cost_at(p, g) for g in range(2, 17)}
         g_best = min(sweep, key=sweep.get)
+        # the tree must beat the planner's BEST flat schedule (the sweep's
+        # chosen gamma), not just the CLI gamma — otherwise "tree wins"
+        # could contradict the sweep published in the same row
+        best_flat = min(flat_cost, sweep[g_best])
         row = {"p": tag, "chosen_size": int(m), "chosen_depth": int(depth),
                "tree_pred_ms_per_token": round(1e3 * cost, 3),
                "flat_pred_ms_per_token": round(1e3 * flat_cost, 3),
@@ -471,11 +475,11 @@ def run_planner(preset: str, args):
                    str(g): round(1e3 * c, 3) for g, c in sweep.items()},
                "flat_best_gamma": int(g_best),
                "flat_best_pred_ms_per_token": round(1e3 * sweep[g_best], 3),
-               "decision": "tree" if cost < flat_cost else "flat"}
+               "decision": "tree" if cost < best_flat else "flat"}
         log(f"[bench] planner[{tag}]: tree {m} nodes depth {depth} -> "
-            f"{1e3 * cost:.2f} ms/tok vs flat {1e3 * flat_cost:.2f} "
-            f"-> {row['decision'].upper()} wins; best flat gamma "
-            f"{g_best} ({1e3 * sweep[g_best]:.2f} ms/tok)")
+            f"{1e3 * cost:.2f} ms/tok vs best flat {1e3 * best_flat:.2f} "
+            f"(gamma {g_best if sweep[g_best] < flat_cost else args.gamma})"
+            f" -> {row['decision'].upper()} wins")
         return row, gm, depth
 
     plans = []
@@ -711,6 +715,10 @@ def run_serve(preset: str, args, slots: int = 4, n_requests: int = 8):
     done = sched.run(max_wall_s=2400)
     wall = time.perf_counter() - t0
     total = sum(len(r.out) for r in done)
+    # each request's out[0] is the PREFILL sample (produced during
+    # admission, costed to admit_s) — exclude it from the decode-segment
+    # numerator so the split stays honest
+    seg_tokens = sum(max(len(r.out) - 1, 0) for r in done)
     st = sched.stats
     # at long prompts the wall is ADMISSION-dominated (each admission
     # prefills a whole prompt: n_requests * prefill tokens processed vs
@@ -719,19 +727,21 @@ def run_serve(preset: str, args, slots: int = 4, n_requests: int = 8):
     # number counts all processed tokens
     res = {"slots": slots, "n_requests": n_requests, "prefill": prefill,
            "gen_len": gen_len, "completed": len(done),
-           "decode_tokens": total, "prefill_tokens": st["prefill_tokens"],
+           "decode_tokens": seg_tokens,
+           "prefill_tokens": st["prefill_tokens"],
            "wall_s": round(wall, 3),
            "admit_s": round(st["admit_s"], 3),
            "decode_s": round(st["decode_s"], 3),
            "decode_segment_tokens_per_sec":
-               round(total / max(st["decode_s"], 1e-9), 2),
+               round(seg_tokens / max(st["decode_s"], 1e-9), 2),
            "aggregate_decode_tokens_per_sec": round(total / wall, 2),
            "total_processed_tokens_per_sec":
                round((total + st["prefill_tokens"]) / wall, 2)}
-    log(f"[bench] serve: {len(done)}/{n_requests} requests, {total} decode "
-        f"+ {st['prefill_tokens']} prefill tokens in {wall:.1f}s "
+    log(f"[bench] serve: {len(done)}/{n_requests} requests, {seg_tokens} "
+        f"decode + {st['prefill_tokens']} prefill tokens in {wall:.1f}s "
         f"({st['admit_s']:.1f}s admission, {st['decode_s']:.1f}s decode) "
-        f"-> decode segments {total / max(st['decode_s'], 1e-9):.1f} tok/s, "
+        f"-> decode segments "
+        f"{seg_tokens / max(st['decode_s'], 1e-9):.1f} tok/s, "
         f"total processed {(total + st['prefill_tokens']) / wall:.0f} "
         f"tok/s ({slots} slots)")
     del engine, sched
@@ -945,7 +955,9 @@ def _run(args):
                                     / max(chosen["flat_pred_ms_per_token"],
                                           1e-9), 4),
                "detail": {"preset": preset, "backend": backend,
-                          "planner": _round_tree(pl)}}
+                          "planner": _round_tree(pl),
+                          **({"serve": _round_tree(results["serve"])}
+                             if "serve" in results else {})}}
         return out
     elif "serve" in results and "batched" not in results:
         sv = results["serve"]

@@ -64,7 +64,7 @@ def bench(filt, shape, tag):
             y = filt(c, 0.9)
             p = jax.nn.softmax(y, -1)
             return c + p.sum(-1, keepdims=True) * 1e-3
-        return jax.lax.fori_loop(0, n, body, (x,) if False else x).sum()
+        return jax.lax.fori_loop(0, n, body, x).sum()
 
     f_lo = jax.jit(lambda x: chain(N_LO, x))
     f_hi = jax.jit(lambda x: chain(N_HI, x))

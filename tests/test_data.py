@@ -94,7 +94,6 @@ def test_narrativeqa_fixture_demo_lwm():
     assert len(demo) == 1
     lwm = data.get_dataset("lwm", _Tok(), data_dir=FIXTURE_DIR)
     assert len(lwm) == 2
-    dec = _Tok().decode(lwm[0][0])
     for p in demo + lwm:
         assert p.shape[0] == 1 and p.shape[1] > 100
     # the template's fixed frame must surround the excerpt

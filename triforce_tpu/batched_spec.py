@@ -252,8 +252,8 @@ class SpecScheduler:
     interact. A retired or never-filled slot keeps decoding inert junk
     until the next admission overwrites it wholesale — wasted row-compute,
     but the step program stays static-shape with no per-row masking, and
-    the cache headroom (``idle_slack``) absorbs the junk growth; a
-    production deployment would gate dead rows instead.
+    the cache headroom (size it with ``required_headroom``) absorbs the
+    junk growth; a production deployment would gate dead rows instead.
     """
 
     @staticmethod

@@ -132,6 +132,7 @@ def parse_args(argv=None):
 def load_model(spec: str, dtype, drafter: bool = False):
     """Resolve preset name -> random params, else HF checkpoint."""
     import jax
+    import jax.numpy as jnp
     from . import config as C
     from .models import ckpt as ckpt_mod
     from .models import hf, llama
@@ -142,9 +143,23 @@ def load_model(spec: str, dtype, drafter: bool = False):
         return cfg, params, None
     path = hf.resolve_checkpoint(spec)
     if ckpt_mod.is_native_checkpoint(path):
-        # converted-once native sharded checkpoint (models/ckpt.py):
-        # tensors restore at their stored dtype, config rides along
+        # converted-once native sharded checkpoint (models/ckpt.py)
         cfg, params = ckpt_mod.load_checkpoint(path)
+        # drafter semantics are a LOAD-TIME choice (StreamingLLM un-rotated
+        # key storage — no HF/native config field encodes it), exactly as
+        # in the hf.load_params path: --draft forces rope_on_slots
+        if cfg.rope_on_slots != drafter:
+            cfg = cfg.with_(rope_on_slots=drafter)
+        # restore honors the requested compute dtype (a float32-saved
+        # checkpoint must not hand fp32 params to a bf16 engine)
+        jdt = jnp.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+        if any(jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != jdt
+               for x in jax.tree.leaves(params)):
+            conv = jax.jit(lambda p: jax.tree.map(
+                lambda x: x.astype(jdt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, p),
+                donate_argnums=(0,))
+            params = conv(params)
         tokenizer = None
         try:
             from transformers import AutoTokenizer
