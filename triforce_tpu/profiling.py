@@ -103,9 +103,16 @@ def _time_chained(body, ids0, extra, n_lo: int = 4, n_hi: int = 20) -> float:
     _ = np.asarray(f(jnp.int32(1), ids0 + 1, *extra))
     times = {}
     for n in (n_lo, n_hi):
-        t0 = time.perf_counter()
-        _ = np.asarray(f(jnp.int32(n), ids0, *extra))  # readback = done
-        times[n] = time.perf_counter() - t0
+        # best-of-3 per endpoint: a single tunnel latency spike on either
+        # dispatch skews the slope by spike/(n_hi - n_lo) — observed as
+        # run-to-run middle_step swings of 1-3 ms that flipped planner
+        # decisions. Each repeat uses distinct ids (memoization again).
+        ts = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(f(jnp.int32(n), ids0 + 2 + r, *extra))
+            ts.append(time.perf_counter() - t0)     # readback = done
+        times[n] = min(ts)
     # clamp to a tiny positive floor: a phase can never take literally 0 s,
     # and downstream planners divide by these
     return max(times[n_hi] - times[n_lo], 1e-9) / (n_hi - n_lo)
