@@ -670,7 +670,7 @@ def run_batched(preset: str, args, rows: int = 4):
     return res
 
 
-def run_serve(preset: str, args, slots: int = 4, n_requests: int = 8):
+def run_serve(preset: str, args, slots: int = None, n_requests: int = None):
     """Continuous speculative batching (SpecScheduler): ``n_requests``
     requests flow through ``slots`` speculative slots — admission
     (single-row prefill + row write), fused batched spec segments, retire
@@ -684,9 +684,11 @@ def run_serve(preset: str, args, slots: int = 4, n_requests: int = 8):
     from triforce_tpu.batched_spec import SpecScheduler
     from triforce_tpu.batching import Request
 
+    slots = slots or args.serve_slots
+    n_requests = n_requests or args.serve_requests
     A = copy.copy(args)
     A.prefill = 15872 if preset == "7b-proxy" else 64
-    A.gen_len = 64 if preset == "7b-proxy" else 12
+    A.gen_len = args.serve_gen or (64 if preset == "7b-proxy" else 12)
     if A.trips == 0:
         k = max(1, min(A.chain if A.chain > 0 else A.gamma, A.gamma))
         A.trips = -(-A.gamma // (k + 1)) + 1
@@ -813,6 +815,14 @@ def main() -> None:
     p.add_argument("--weight-ar", action="store_true",
                    help="also measure the AR floor with int8 weight-only "
                         "quantization (extra engine + compile)")
+    p.add_argument("--serve-slots", type=int, default=4,
+                   help="serve mode: speculative slot count")
+    p.add_argument("--serve-requests", type=int, default=8,
+                   help="serve mode: number of requests")
+    p.add_argument("--serve-gen", type=int, default=0,
+                   help="serve mode: tokens per request (0 = preset "
+                        "default; larger values measure steady state "
+                        "closer to the zero-churn fixed-batch ceiling)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="pin the JAX platform (the axon sitecustomize "
                         "force-registers the TPU regardless of "
