@@ -113,7 +113,7 @@ def add_bandwidth(row: dict, bytes_per_token: float, on_tpu: bool) -> dict:
 
 
 def build_engine(preset: str, args, with_draft: bool,
-                 weight_quant: bool = False):
+                 weight_quant: bool = False, cache_headroom: int = None):
     import jax.numpy as jnp
     from triforce_tpu import config as C
     from triforce_tpu.config import SpecConfig
@@ -164,7 +164,9 @@ def build_engine(preset: str, args, with_draft: bool,
     log(f"[bench] params initialised in {time.perf_counter() - t0:.1f}s")
     engine = Engine(cfg, spec, params, draft_cfg=d_cfg, draft_params=d_params,
                     prefill=prefill,
-                    max_cache_len=prefill + 32 * (gen_len + spec.gamma + 2),
+                    max_cache_len=prefill + (
+                        cache_headroom
+                        or 32 * (gen_len + spec.gamma + 2)),
                     dtype=dtype, prefill_chunk=args.prefill_chunk,
                     kv_quant=args.kv_dtype == "int8",
                     weight_quant=weight_quant, donate=True)
@@ -693,7 +695,11 @@ def run_serve(preset: str, args, slots: int = None, n_requests: int = None):
         k = max(1, min(A.chain if A.chain > 0 else A.gamma, A.gamma))
         A.trips = -(-A.gamma // (k + 1)) + 1
     engine, prefill, gen_len = build_engine(
-        preset, A, with_draft=True, weight_quant=args.weights == "int8")
+        preset, A, with_draft=True, weight_quant=args.weights == "int8",
+        # the scheduler's own junk-growth bound, not the generic 32x
+        # formula (which OOMs 4 slot caches at gen 256)
+        cache_headroom=SpecScheduler.required_headroom(A.gen_len, 4,
+                                                       A.gamma))
 
     def submit_all(sched, n, max_new):
         for i in range(n):
