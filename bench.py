@@ -838,12 +838,16 @@ def main() -> None:
 
     # The axon tunnel intermittently kills large remote compiles
     # ("response body closed before all bytes were read" — NOTES_ROUND3/4);
-    # a flake mid-run invalidates nothing but wall time, so rebuild from
-    # scratch and retry the whole measurement rather than dying.
+    # a flake mid-run invalidates nothing but wall time, so rebuild and
+    # retry rather than dying. `done` carries each completed mode's record
+    # across attempts so a flake late in a five-mode run (observed: during
+    # the planner's tree run, after ~25 min of finished modes) only
+    # re-measures what never finished.
     out = None
+    done = {}
     for attempt in range(3):
         try:
-            out = _run(args)
+            out = _run(args, done)
             break
         except Exception as e:
             flaky = any(m in str(e) for m in (
@@ -865,7 +869,7 @@ def main() -> None:
     print(json.dumps(out), flush=True)
 
 
-def _run(args):
+def _run(args, done=None):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -878,54 +882,70 @@ def _run(args):
     alphas = sorted({0.7, 0.8, args.alpha})
     modes = args.modes.split(",")
 
-    results = {}
+    # `done` persists across flake retries: completed modes are kept, only
+    # unfinished ones re-measure (their records only land in `done` AFTER
+    # the mode finishes, so a flake mid-mode re-runs that whole mode)
+    results = done if done is not None else {}
+    if results:
+        log(f"[bench] resuming; completed modes kept: "
+            f"{sorted(results.keys())}")
     tree_mode = "tree" in modes
     batched_mode = "batched" in modes
     planner_mode = "planner" in modes
     serve_mode = "serve" in modes
     modes = [m for m in modes
              if m not in ("tree", "batched", "planner", "serve")]
+    missing_flat = [m for m in modes if m not in results]
     engine = None
-    if modes or tree_mode:
+    # headline prefill/gen_len, independent of whether the engine build
+    # runs on this attempt (resume may skip it)
+    if preset == "7b-proxy":
+        prefill = args.prefill or 124928
+        gen_len = args.gen_len or 128
+    else:
+        prefill = args.prefill or 64
+        gen_len = args.gen_len or 32
+    if missing_flat or ((modes or tree_mode) and "ar" not in results):
         # flat/tree runs need the AR baseline at the preset prefill;
         # a batched-only run reports B-vs-1 scaling and skips it
         engine, prefill, gen_len = build_engine(
-            preset, args, with_draft="triforce" in modes,
+            preset, args, with_draft="triforce" in missing_flat,
             weight_quant=args.weights == "int8")
         # compile warm-up prefill with ids nobody times
         _state, _ = timed_prefill(engine, seed=7,
-                                  with_draft="triforce" in modes,
+                                  with_draft="triforce" in missing_flat,
                                   label=" warmup(compile)")
         del _state
         _settle()
-        results["ar"] = run_ar(engine, gen_len)
-    for mode in modes:
+        if "ar" not in results:
+            results["ar"] = run_ar(engine, gen_len)
+    for mode in missing_flat:
         _settle()
         results[mode] = run_spec(
             engine, gen_len, mode, alphas,
             with_draft=mode == "triforce",
             calibrate_to=args.alpha if args.calibrate else None)
 
-    if tree_mode:
+    if tree_mode and "tree" not in results:
         # fresh engine AFTER the flat modes so only one cache set is live
         del engine
         _settle(20)
         results["tree"] = run_tree(preset, args)
         engine = None
 
-    if batched_mode:
+    if batched_mode and "batched" not in results:
         del engine
         _settle(20)
         results["batched"] = run_batched(preset, args)
         engine = None
 
-    if planner_mode:
+    if planner_mode and "planner" not in results:
         del engine
         _settle(20)
         results["planner"] = run_planner(preset, args)
         engine = None
 
-    if serve_mode:
+    if serve_mode and "serve" not in results:
         del engine
         _settle(20)
         results["serve"] = run_serve(preset, args)
