@@ -647,6 +647,7 @@ def run_batched(preset: str, args, rows: int = 4):
                                       weight_quant=args.weights == "int8")
     res = {"rows": rows, "prefill": prefill, "steps": steps,
            "mode": "triforce"}
+    steps_lo = steps // 3
     for b in (1, rows):
         bat = BatchedSpecEngine(engine, mode="triforce",
                                 force_accept=args.alpha, donate=True)
@@ -654,20 +655,39 @@ def run_batched(preset: str, args, rows: int = 4):
         st = bat.prefill_rows(prompts, list(range(b)))
         st, toks, ns, _c, _e = bat.decode(st, steps)  # compile warm-up
         _ = int(np.asarray(ns)[0, -1])
+        # the short run also warms the steps_lo program, and its wall
+        # gives the slope: (t_hi - t_lo)/(steps - steps_lo) is per-step
+        # cost with the fused dispatch's fixed ~60-70 ms tunnel round trip
+        # cancelled (at 24 steps that fixed cost is ~2.5 ms/step of the
+        # aggregate number — production fuses whole generations, so the
+        # slope is the production per-step cost)
+        st, toks, ns, _c, _e = bat.decode(st, steps_lo)
+        _ = int(np.asarray(ns)[0, -1])
+        t0 = time.perf_counter()
+        st, toks, ns, _c, _e = bat.decode(st, steps_lo)
+        _ = int(np.asarray(ns)[0, -1])
+        t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
         st, toks, ns, _c, _e = bat.decode(st, steps)
         total = int(np.asarray(ns).sum())
         dt = time.perf_counter() - t0
+        slope_ms = 1e3 * (dt - t_lo) / (steps - steps_lo)
         res[f"b{b}"] = {"tokens_per_sec": total / dt,
                         "step_ms": 1e3 * dt / steps,
+                        "step_ms_slope": round(slope_ms, 4),
                         "tokens": total}
         log(f"[bench] batched B={b}: {total / dt:.1f} tok/s aggregate "
-            f"({1e3 * dt / steps:.1f} ms/step, {total} tokens)")
+            f"({1e3 * dt / steps:.1f} ms/step incl dispatch, "
+            f"{slope_ms:.1f} ms/step slope, {total} tokens)")
         del st, bat
         _settle()
     res["scaling"] = res[f"b{rows}"]["tokens_per_sec"] / \
         max(res["b1"]["tokens_per_sec"], 1e-9)
-    log(f"[bench] batched scaling B={rows}/B=1: {res['scaling']:.2f}x")
+    res["scaling_slope"] = round(
+        rows * res["b1"]["step_ms_slope"]
+        / max(res[f"b{rows}"]["step_ms_slope"], 1e-9), 4)
+    log(f"[bench] batched scaling B={rows}/B=1: {res['scaling']:.2f}x "
+        f"aggregate, {res['scaling_slope']:.2f}x by slope")
     del engine
     return res
 
