@@ -192,6 +192,33 @@ BENCH_7B_PROXY = ModelConfig(
     ),
 )
 
+# Single-chip proxy for the reference's Llama2-13B-128K row
+# (index.html:197-202, BASELINE.json). Mirrors BENCH_7B_PROXY's
+# construction at the 13B model's byte ratio: 13B at 128K is ~98 GB KV vs
+# ~26 GB fp16 weights (KV:weights ~ 3.8, vs the 7B's 4.6). This model
+# reproduces that ratio under the same convention the 7b proxy used
+# (KV at 64K vs bf16 weights): 17 MHA layers x 20 heads x 128 dim
+# -> 160 KB/token of KV (11.4 GB at 64K) vs ~3.0 GB bf16 weights
+# (ratio 3.8). int8 KV at 124928 prefill is ~11 GB — fits one v5e with the
+# donated single-cache-set discipline.
+BENCH_13B_PROXY = ModelConfig(
+    vocab_size=32000,
+    hidden_size=2560,
+    intermediate_size=6912,
+    num_layers=17,
+    num_heads=20,
+    num_kv_heads=20,
+    head_dim=128,
+    max_position_embeddings=131072,
+    rms_norm_eps=1e-5,
+    rope=RopeConfig(
+        kind="yarn",
+        theta=10000.0,
+        scaling_factor=32.0,
+        original_max_position_embeddings=4096,
+    ),
+)
+
 # Tiny configs for CPU unit tests.
 TINY_TARGET = ModelConfig(
     vocab_size=199,
@@ -228,6 +255,7 @@ PRESETS = {
     "lwm-text-chat-128k": LWM_TEXT_CHAT_128K,
     "tinyllama-1.1b-128k": TINYLLAMA_1_1B_128K,
     "bench-7b-proxy": BENCH_7B_PROXY,
+    "bench-13b-proxy": BENCH_13B_PROXY,
     "tiny-target": TINY_TARGET,
     "tiny-draft": TINY_DRAFT,
 }
