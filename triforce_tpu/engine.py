@@ -358,6 +358,45 @@ class Engine:
         next_token = sampling.sample(k2, probs)
         return state.replace(kv=kv, rkv=rkv, next_token=next_token, key=key)
 
+    def prefill_target_partial(self, state: TriForceState,
+                               input_ids: jnp.ndarray, pos: int,
+                               max_chunks: int):
+        """Advance a chunked target prefill by up to ``max_chunks`` full
+        chunks from token offset ``pos`` (one fused scan dispatch), running
+        the ragged remainder and the final build-token forward when the
+        prompt is exhausted. Returns ``(state, new_pos, done)``.
+
+        This is the serving scheduler's admission slice: interleaving these
+        slices with decode segments keeps live slots decoding while a long
+        prompt streams in (SpecScheduler). Chaining slices to completion is
+        numerically identical to :meth:`prefill_target` (the same chunk
+        boundaries feed the same programs)."""
+        p = input_ids.shape[1]
+        assert p == self.prefill
+        c = self.prefill_chunk
+        body = input_ids[:, :-1]
+        kv = state.kv
+        n = min(max_chunks, (body.shape[1] - pos) // c)
+        if n > 0:
+            chunks = body[:, pos:pos + n * c].reshape(1, n, c).transpose(
+                1, 0, 2)
+            kv = self._prefill_scan(self.t_params, chunks, kv)
+            pos += n * c
+        if n < max_chunks and pos < body.shape[1]:
+            # ragged remainder fits in the same slice budget
+            _, kv = self._prefill_t(self.t_params, body[:, pos:], kv)
+            pos = body.shape[1]
+        if pos < body.shape[1]:
+            return state.replace(kv=kv), pos, False
+        logits, kv, rkv = self._build(self.t_params, input_ids[:, -1:], kv,
+                                      state.rkv)
+        probs = sampling.norm_logits(logits[:, -1], self.spec.temperature,
+                                     self.spec.top_k, self.spec.top_p)
+        key, k2 = jax.random.split(state.key)
+        next_token = sampling.sample(k2, probs)
+        return state.replace(kv=kv, rkv=rkv, next_token=next_token,
+                             key=key), p, True
+
     def prefill_draft(self, state: TriForceState, input_ids: jnp.ndarray,
                       mode: str = "full") -> TriForceState:
         """Drafter prefill with StreamingLLM eviction.

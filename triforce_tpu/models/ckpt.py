@@ -45,20 +45,30 @@ def _cfg_from_dict(d: dict) -> ModelConfig:
 
 def save_checkpoint(path: str, cfg: ModelConfig, params) -> None:
     """Write ``params`` (any jax pytree, possibly sharded across the mesh)
-    plus its ModelConfig. Existing checkpoints are overwritten."""
+    plus its ModelConfig. Existing checkpoints are overwritten ATOMICALLY:
+    params save to a temp dir that is renamed into place, and the config
+    marker (which ``is_native_checkpoint`` keys on) is written LAST — a
+    crash mid-save can never leave a dir the loader accepts but cannot
+    restore, and never destroys a good checkpoint before the new one is
+    complete (ADVICE r4)."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _CFG_FILE), "w") as f:
-        json.dump(_cfg_to_dict(cfg), f, indent=1)
     ckptr = ocp.StandardCheckpointer()
     pdir = os.path.join(path, "params")
-    if os.path.exists(pdir):
-        import shutil
-        shutil.rmtree(pdir)
-    ckptr.save(pdir, params)
+    tmp = pdir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, params)
     ckptr.wait_until_finished()
+    if os.path.exists(pdir):
+        shutil.rmtree(pdir)
+    os.rename(tmp, pdir)
+    with open(os.path.join(path, _CFG_FILE), "w") as f:
+        json.dump(_cfg_to_dict(cfg), f, indent=1)
 
 
 def load_checkpoint(path: str, shardings=None,

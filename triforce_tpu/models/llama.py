@@ -427,7 +427,13 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     cos, sin = rope.cos_sin_tables(cfg)
     positions = kv_seq_len + jnp.arange(t)
     scratch0 = jnp.asarray(budget, jnp.int32)  # real_budget - (gamma+1)
-    k_len = jnp.asarray(budget, jnp.int32)
+    # dead-row gate (serving): kv_seq_len == 0 marks a retired/blank slot
+    # (SpecScheduler clears it), so its retrieval-budget read collapses to
+    # ZERO columns — under vmap this is a per-row traced length the Pallas
+    # kernel honors, turning idle-slot decode from a full budget stream
+    # into a no-op. Live rows always have kv_seq_len >= their prefill.
+    k_len = jnp.where(jnp.asarray(kv_seq_len, jnp.int32) > 0,
+                      jnp.asarray(budget, jnp.int32), 0)
 
     x = jnp.take(params["embed"], input_ids, axis=0)
 
