@@ -468,21 +468,38 @@ def run_tree(preset: str, args, gm=None):
 
     res["forced"] = {}
     for i, alpha in enumerate(sorted({0.8, args.alpha})):
-        # alpha traced: one compiled program for the whole sweep
-        st, n, counters, dt = timed_generation(
-            lambda s: engine.generate_forced(s, gen_len, alpha),
-            st, gen_len, warm=i == 0)
-        gen, steps = n - 1, int(counters[0])
-        res["forced"][str(alpha)] = {
+        # alpha traced: one compiled program for the whole sweep. The
+        # headline alpha runs 3 repeats so the row carries a run-to-run
+        # sigma — the planner's tree-vs-flat decision margin is only
+        # meaningful against it (VERDICT r4 item 5)
+        reps = 3 if alpha == args.alpha else 1
+        tps_list = []
+        gen = steps = nodes = 0
+        dt = 0.0
+        for r in range(reps):
+            st, n, counters, dt_r = timed_generation(
+                lambda s: engine.generate_forced(s, gen_len, alpha),
+                st, gen_len, warm=i == 0 and r == 0)
+            tps_list.append((n - 1) / dt_r)
+            gen += n - 1
+            steps += int(counters[0])
+            nodes += int(counters[1])
+            dt += dt_r
+        row = {
             "methodology": "forced-coin",
             "tokens_per_sec": gen / dt,
             "ms_per_token": 1e3 * dt / max(gen, 1),
             "tokens_per_step": gen / max(steps, 1),
             "step_ms": 1e3 * dt / max(steps, 1),
-            "accepted_nodes_per_step": int(counters[1]) / max(steps, 1)}
-        log(f"[bench] tree forced alpha={alpha}: {gen / dt:.2f} tok/s, "
-            f"{gen / max(steps, 1):.2f} tok/step, step "
-            f"{1e3 * dt / max(steps, 1):.1f} ms")
+            "accepted_nodes_per_step": nodes / max(steps, 1)}
+        if reps > 1:
+            row["tokens_per_sec_sigma"] = round(float(np.std(tps_list)), 2)
+            row["runs"] = [round(x, 2) for x in tps_list]
+        res["forced"][str(alpha)] = row
+        log(f"[bench] tree forced alpha={alpha}: {gen / dt:.2f} tok/s"
+            + (f" +/- {row['tokens_per_sec_sigma']}" if reps > 1 else "")
+            + f", {gen / max(steps, 1):.2f} tok/step, step "
+              f"{1e3 * dt / max(steps, 1):.1f} ms")
     del engine, params, st
     return res
 

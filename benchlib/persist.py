@@ -36,9 +36,27 @@ _FP_KEYS = ("preset", "prefill", "gen_len", "prefill_chunk", "kv_dtype",
             "serve_slots", "serve_requests", "serve_gen")
 
 
+def _code_rev() -> str:
+    """Last commit touching the MEASURED code (package + harness): a code
+    change invalidates cached records — resuming across a code change
+    would quote numbers the current build never produced. Doc/record-only
+    commits (README, BENCH_*.json) do not invalidate."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--",
+             "triforce_tpu", "benchlib", "bench.py"],
+            cwd=os.path.dirname(PARTIAL_PATH), capture_output=True,
+            text=True, timeout=10)
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def fingerprint(args, backend: str) -> str:
     blob = json.dumps({k: getattr(args, k, None) for k in _FP_KEYS}
-                      | {"backend": backend}, sort_keys=True)
+                      | {"backend": backend, "code": _code_rev()},
+                      sort_keys=True)
     return hashlib.sha1(blob.encode()).hexdigest()[:16]
 
 

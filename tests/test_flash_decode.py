@@ -401,3 +401,62 @@ def test_batched_kernel_stacked_layer_matches_slab(quant):
         interpret=True, **kw_sl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("t,k_len", [(256, 413), (512, 512)])
+def test_kernel_wide_query_tiled_matches_xla(t, k_len):
+    """Wide-query (tree verify) shapes run the q-TILED kernel path
+    (gt > 128 -> in-kernel 128-row sub-tiles so the DMA block stays large —
+    the r4 T>=256 verify-cliff fix). Must match the XLA path exactly."""
+    from triforce_tpu.ops.flash_decode import _pick_qtile
+    s, d = 512, 32
+    hq = hkv = 1          # gt = t: 256/512 exercise q_tile 128
+    assert _pick_qtile(hq // hkv * t) == 128
+    q, k, v, kn, vn = _mk(hq, hkv, t, s, d, seed=t)
+    want = attention.append_attention(q, k, v, kn, vn,
+                                      k_len=jnp.asarray(k_len))
+    got = append_attention_pallas(q, k, v, kn, vn,
+                                  k_len=jnp.asarray(k_len), block=BLOCK,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_partials_wide_query_tiled_matches_xla():
+    """Wide-query tiled partials (tree-grow prefix at level widths > 128)
+    match the XLA partials path."""
+    from triforce_tpu.ops.flash_decode import flash_decode_partials
+    s, d, t = 512, 32, 256
+    q, k, v, _, _ = _mk(1, 1, t, s, d, seed=9)
+    k_len = jnp.asarray(300)
+    m, l, acc = flash_decode_partials(q[0], k[0][None].reshape(1, s, d),
+                                      v[0].reshape(1, s, d), k_len,
+                                      block=BLOCK, interpret=True)
+    want = attention.attention_partials(q, k, v, k_len=k_len)
+    np.testing.assert_allclose(np.asarray(m).reshape(-1),
+                               np.asarray(want[0]).reshape(-1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l).reshape(-1),
+                               np.asarray(want[1]).reshape(-1), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(acc).reshape(-1),
+                               np.asarray(want[2]).reshape(-1), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_kernel_wide_query_tiled_quantized():
+    """Wide + int8 cache: the tiled path dequantizes v once per block
+    (shared across q tiles, bf16 pv — finer than the untiled path's int8
+    p-requant) and must track the XLA dequantized path closely."""
+    from triforce_tpu.cache import quantize_tokens
+    s, d, t = 512, 32, 256
+    q, k, v, kn, vn = _mk(1, 1, t, s, d, seed=3)
+    k8, ksc = quantize_tokens(k[None])
+    v8, vsc = quantize_tokens(v[None])
+    want = attention.append_attention(q, k8[0], v8[0], kn, vn,
+                                      k_len=jnp.asarray(300),
+                                      k_scale=ksc[0], v_scale=vsc[0])
+    got = append_attention_pallas(q, k8[0], v8[0], kn, vn,
+                                  k_len=jnp.asarray(300), block=BLOCK,
+                                  interpret=True, k_scale=ksc[0],
+                                  v_scale=vsc[0])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)

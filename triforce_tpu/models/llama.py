@@ -641,8 +641,10 @@ def _tree_grow_attention(cfg, q, cache, li, prefix_len, staged_start,
     use_pallas = pallas_decode_eligible(b, s, gt,
                                         warn_context="tree grow prefix")
     if use_pallas:
-        from ..ops.flash_decode import flash_decode_partials, _pick_block
-        block = _pick_block(s, hkv, d, gt, 0, quant=quant)
+        from ..ops.flash_decode import (flash_decode_partials, _pick_block,
+                                        _pick_qtile)
+        block = _pick_block(s, hkv, d, gt, 0, quant=quant,
+                            q_tile=_pick_qtile(gt))
         qh = q[0].reshape(hkv, gt, d)
         m, l, acc = flash_decode_partials(
             qh, cache.k[:, 0], cache.v[:, 0], prefix_len, block=block,

@@ -364,16 +364,20 @@ def pallas_decode_eligible(b: int, s: int, gt: int,
                            warn_context: str = "") -> bool:
     """THE flash-decode kernel admission gate (single source of truth —
     review r3 found three drifting copies): B=1 per call, cache length
-    512-aligned and >= 2048, per-head query rows gt <= 128 (the measured
-    crossover vs the XLA partials path sits between 128 and 256,
-    probes/_r2_gt_crossover.py), TPU backend, not disabled. When
-    ``warn_context`` is set and a decode-shaped call misses ONLY the
-    alignment/batch conditions, warn once per trace instead of silently
-    degrading (~10x decode bandwidth at stake)."""
+    512-aligned and >= 2048, per-head query rows gt <= 128 OR a wide-query
+    shape the kernel can q-TILE (gt <= 512 with a clean 128/64/32 tile —
+    the in-kernel sub-tiling keeps the DMA block large, which removed the
+    r4 T>=256 verify cliff: measured T=256 97.9 -> ~20 ms, T=512 117.7 ->
+    ~25 ms vs the XLA partials path, probes/_r5_cliff.py), TPU backend,
+    not disabled. When ``warn_context`` is set and a decode-shaped call
+    misses ONLY the alignment/batch conditions, warn once per trace
+    instead of silently degrading (~10x decode bandwidth at stake)."""
     import os
+    from .flash_decode import _pick_qtile
     enabled = (jax.default_backend() == "tpu" and not _PALLAS_DISABLED[0]
                and not os.environ.get("TRIFORCE_NO_PALLAS"))
-    ok = (enabled and b == 1 and s % 512 == 0 and s >= 2048 and gt <= 128)
+    gt_ok = gt <= 128 or (gt <= 512 and _pick_qtile(gt) > 0)
+    ok = (enabled and b == 1 and s % 512 == 0 and s >= 2048 and gt_ok)
     if (not ok and enabled and warn_context and gt <= 128 and s >= 2048
             and (s % 512 != 0 or b != 1)):
         import warnings

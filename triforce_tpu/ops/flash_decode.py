@@ -93,7 +93,7 @@ def _fold_new_and_finalize(q, qs, kn, vn, bias, m, l, acc, quant: bool):
 
 
 def _kernel(klen_ref, *rest, block: int, scale: float, quant: bool,
-            stacked: bool = False):
+            stacked: bool = False, q_tile: int = 0):
     if stacked:
         # layer index arrives as a second scalar-prefetch ref; only the
         # BlockSpec index maps consume it — the body never reads it
@@ -120,20 +120,44 @@ def _kernel(klen_ref, *rest, block: int, scale: float, quant: bool,
     @pl.when(i < nb)
     def _():
         base = i * block
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, gt, block), 2) + base
-        valid = cols < k_len
-        sc = _block_scores(q_ref[:], k_ref[:],
-                           None if not quant else qs_ref[:],
-                           None if not quant else ks_ref[:], quant)
-        sc = jnp.where(valid, sc, _NEG_INF)
-        m = m_sc[:]
-        m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(sc - m_new)
-        l_sc[:] = l_sc[:] * alpha + p.sum(axis=-1, keepdims=True)
-        pv = _block_pv(p, v_ref[:], None if not quant else vs_ref[:], quant)
-        acc_sc[:] = acc_sc[:] * alpha + pv   # [Hkv, GT, D]
-        m_sc[:] = m_new
+
+        def one_tile(qsl, q_t, qs_t, v_blk, v_quant):
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (1, q_t.shape[1], block), 2) + base
+            valid = cols < k_len
+            sc = _block_scores(q_t, k_ref[:], qs_t,
+                               None if not quant else ks_ref[:], quant)
+            sc = jnp.where(valid, sc, _NEG_INF)
+            m = m_sc[:, qsl]
+            m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(sc - m_new)
+            l_sc[:, qsl] = l_sc[:, qsl] * alpha + p.sum(axis=-1,
+                                                        keepdims=True)
+            pv = _block_pv(p, v_blk,
+                           None if not v_quant else vs_ref[:], v_quant)
+            acc_sc[:, qsl] = acc_sc[:, qsl] * alpha + pv
+            m_sc[:, qsl] = m_new
+
+        if q_tile and q_tile < gt:
+            # WIDE-QUERY path (tree verify, T up to 512): the score/p
+            # intermediates are processed in q sub-tiles so their VMEM
+            # footprint never forces the DMA block down — small blocks
+            # crater fetch bandwidth (measured 512 -> ~40 GB/s vs
+            # 2048+ -> ~400+; this was the r4 T>=256 verify cliff).
+            # (a once-per-block shared v-dequant was probed and is
+            # SLOWER: the held [Hkv, block, D] temp stalls the DMA
+            # pipeline — T=256 38.5 -> 51.9 ms; keep per-tile int8 pv)
+            def tile_body(tq, _):
+                qsl = pl.ds(tq * q_tile, q_tile)
+                one_tile(qsl, q_ref[:, qsl],
+                         None if not quant else qs_ref[:, qsl],
+                         v_ref[:], quant)
+                return 0
+            jax.lax.fori_loop(0, gt // q_tile, tile_body, 0)
+        else:
+            one_tile(slice(None), q_ref[:],
+                     None if not quant else qs_ref[:], v_ref[:], quant)
 
     # finalize on the last grid step (nb == 0 finalizes at i == 0)
     @pl.when(i == jnp.maximum(nb - 1, 0))
@@ -144,12 +168,13 @@ def _kernel(klen_ref, *rest, block: int, scale: float, quant: bool,
 
 
 def _kernel_partials(klen_ref, *rest, block: int, quant: bool,
-                     stacked: bool = False):
+                     stacked: bool = False, q_tile: int = 0):
     """Cache-only online-softmax partials: like ``_kernel`` but WITHOUT the
     new-token fold/normalisation — emits (m, l, acc) so a sequence-sharded
     decode can psum-merge per-shard partials over ICI (ops/sp_attention.py).
     The (m, l, acc) outputs double as the accumulators: their blocks stay
-    resident in VMEM across the sequential grid and write back once."""
+    resident in VMEM across the sequential grid and write back once.
+    ``q_tile``: wide-query sub-tiling, see ``_kernel``."""
     if stacked:
         _layer_ref, q_ref, *refs = rest
     else:
@@ -162,6 +187,7 @@ def _kernel_partials(klen_ref, *rest, block: int, quant: bool,
     i = pl.program_id(0)
     k_len = klen_ref[0]
     nb = pl.cdiv(k_len, block)
+    hkv, gt, d = q_ref.shape
 
     @pl.when(i == 0)
     def _():
@@ -171,22 +197,36 @@ def _kernel_partials(klen_ref, *rest, block: int, quant: bool,
 
     @pl.when(i < nb)
     def _():
-        hkv, gt, d = q_ref.shape
         base = i * block
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, gt, block), 2) + base
-        valid = cols < k_len
-        sc = _block_scores(q_ref[:], k_ref[:],
-                           None if not quant else qs_ref[:],
-                           None if not quant else ks_ref[:], quant)
-        sc = jnp.where(valid, sc, _NEG_INF)
-        m = m_ref[:][:, :, None]
-        m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(sc - m_new)
-        l_ref[:] = l_ref[:] * alpha[:, :, 0] + p.sum(axis=-1)
-        pv = _block_pv(p, v_ref[:], None if not quant else vs_ref[:], quant)
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = m_new[:, :, 0]
+
+        def one_tile(qsl, q_t, qs_t, v_blk, v_quant):
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (1, q_t.shape[1], block), 2) + base
+            valid = cols < k_len
+            sc = _block_scores(q_t, k_ref[:], qs_t,
+                               None if not quant else ks_ref[:], quant)
+            sc = jnp.where(valid, sc, _NEG_INF)
+            m = m_ref[:, qsl][:, :, None]
+            m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(sc - m_new)
+            l_ref[:, qsl] = l_ref[:, qsl] * alpha[:, :, 0] + p.sum(axis=-1)
+            pv = _block_pv(p, v_blk,
+                           None if not v_quant else vs_ref[:], v_quant)
+            acc_ref[:, qsl] = acc_ref[:, qsl] * alpha + pv
+            m_ref[:, qsl] = m_new[:, :, 0]
+
+        if q_tile and q_tile < gt:
+            def tile_body(tq, _):
+                qsl = pl.ds(tq * q_tile, q_tile)
+                one_tile(qsl, q_ref[:, qsl],
+                         None if not quant else qs_ref[:, qsl],
+                         v_ref[:], quant)
+                return 0
+            jax.lax.fori_loop(0, gt // q_tile, tile_body, 0)
+        else:
+            one_tile(slice(None), q_ref[:],
+                     None if not quant else qs_ref[:], v_ref[:], quant)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -232,7 +272,8 @@ def flash_decode_partials(q, k, v, k_len, block: int = 512,
 
     quant = k_scale is not None
     kernel = functools.partial(_kernel_partials, block=block, quant=quant,
-                               stacked=stacked)
+                               stacked=stacked,
+                               q_tile=max(_pick_qtile(gt), 0))
     kv_specs = ([pl.BlockSpec((hkv, gt), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)]   # q scales
                 if quant else []) + [
@@ -349,8 +390,9 @@ def flash_decode_append(q, k, v, k_new, v_new, k_len, new_mask,
         sc_shape = (hkv, block)
 
     quant = k_scale is not None
+    q_tile = max(_pick_qtile(gt), 0)
     kernel = functools.partial(_kernel, block=block, scale=scale,
-                               quant=quant, stacked=stacked)
+                               quant=quant, stacked=stacked, q_tile=q_tile)
     kv_specs = ([pl.BlockSpec((hkv, gt), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)]   # q scales
                 if quant else []) + [
@@ -581,22 +623,38 @@ def flash_decode_append_batched(q, k, v, k_new, v_new, k_len, new_mask,
     )(*args)
 
 
+def _pick_qtile(gt: int) -> int:
+    """Query sub-tile for the wide-query kernel path (gt > 128): largest
+    power-of-two divisor of gt that is <= 128, or 0 when gt needs no
+    tiling / has no clean tile (the caller then falls back to XLA)."""
+    if gt <= 128:
+        return 0
+    for qt in (128, 64, 32):
+        if gt % qt == 0:
+            return qt
+    return -1   # no clean tile: not kernel-eligible
+
+
 def _pick_block(s: int, hkv: int, d: int, gt: int, tn: int,
-                quant: bool = False) -> int:
+                quant: bool = False, q_tile: int = 0) -> int:
     """Largest candidate block dividing the cache length whose
-    double-buffered K+V slabs AND the per-step [Hkv, GT, block] score
+    double-buffered K+V slabs AND the per-step [Hkv, QT, block] score
     intermediates fit the VMEM left after the resident tensors (q, new KV,
     bias, fp32 accumulators, output): bigger DMAs amortize per-iteration
     pipeline overhead (measured on v5e: 512 -> 40 GB/s, 4000 -> ~400 GB/s).
-    For decode shapes (gt <= 64) the score term is noise; for prefill
-    chunks (gt = G*T up to 512) it dominates and pushes the block down."""
+    For decode shapes (gt <= 64) the score term is noise; for WIDE queries
+    (tree verify, gt up to 512) the kernel processes scores in ``q_tile``
+    sub-tiles precisely so this term cannot force the DMA block down (the
+    r4 T>=256 verify cliff was block 512's collapsed fetch bandwidth)."""
     itemsize = 1 if quant else 2
-    resident = hkv * gt * d * (2 + 4 + 4 + 4) + 2 * hkv * tn * d * 2         + gt * tn * 4
+    resident = hkv * gt * d * (2 + 4 + 4 + 4) + 2 * hkv * tn * d * 2 \
+        + gt * tn * 4
     budget = 56 * 1024 * 1024 - resident
+    qt = q_tile if q_tile and q_tile > 0 else gt
     # per-block-unit bytes: double-buffered K+V fetches + the live score
     # tile (fp32 scores + exp(p); the quantized path adds an int8 p8 copy)
     per = (2 * 2 * hkv * d * itemsize
-           + hkv * gt * (4 + 2 + (1 if quant else 0)))
+           + hkv * qt * (4 + 2 + (1 if quant else 0)))
     cap = max(budget, 0) // per
     # largest divisor of s under the VMEM cap; quantized fetches include
     # [Hkv, block] scale planes whose last dim must be lane-divisible (x128)
@@ -628,7 +686,8 @@ def append_attention_pallas(q, k_cache, v_cache, k_new, v_new, *, k_len,
     if block is None:
         tn_pad = -(-t // 128) * 128
         block = _pick_block(s, hkv, d, g * t, tn_pad,
-                            quant=k_scale is not None)
+                            quant=k_scale is not None,
+                            q_tile=_pick_qtile(g * t))
     if new_mask is None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
