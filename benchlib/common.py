@@ -63,12 +63,18 @@ class ByteModel:
         return self.w_bytes + self.kv_tok * avg_ctx
 
     def spec_step(self, avg_ctx: float, mid_verifies: float,
-                  drafts: float) -> float:
+                  drafts: float, mid_live: float = None) -> float:
         """Bytes of ONE spec step: 1 full-cache target verify +
-        ``mid_verifies`` retrieval-cache middle verifies + ``drafts``
-        drafter forwards (incl. the replay)."""
+        ``mid_verifies`` middle verifies (each streams the weight set;
+        only the ``mid_live`` LIVE ones also stream the retrieval budget —
+        dead fixed-trip rounds gate their rkv read to zero columns,
+        engine._middle_spec) + ``drafts`` drafter forwards (incl. the
+        replay)."""
+        if mid_live is None:
+            mid_live = mid_verifies
         return (self.w_bytes + self.kv_tok * avg_ctx
-                + mid_verifies * (self.w_bytes + self.kv_tok * self.budget)
+                + mid_verifies * self.w_bytes
+                + mid_live * self.kv_tok * self.budget
                 + drafts * (self.d_bytes + self.d_win))
 
 

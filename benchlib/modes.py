@@ -76,7 +76,7 @@ def _calibrate(engine, state, gen_len, mode, target, with_draft,
     coin = coin_seed if coin_seed and lo < coin_seed < hi else 0.5 * (lo + hi)
     trace, best = [], None
     for _it in range(8):
-        gen = steps = acc = prop = mid_d = mid_v = 0
+        gen = steps = acc = prop = mid_d = mid_v = mid_l = 0
         dt = 0.0
         ctx0 = int(jax.device_get(state.kv.seq_len))
         for _r in range(3):
@@ -90,12 +90,14 @@ def _calibrate(engine, state, gen_len, mode, target, with_draft,
             prop += int(counters[2])
             mid_d += int(counters[5])
             mid_v += int(counters[7])
+            mid_l += int(counters[8])
             dt += dt_r
         ctx1 = int(jax.device_get(state.kv.seq_len))
         realized = acc / max(prop, 1)
         block = {"coin": coin, "realized": realized, "gen": gen,
                  "steps": steps, "prop": prop, "mid_d": mid_d,
-                 "mid_v": mid_v, "dt": dt, "ctx": 0.5 * (ctx0 + ctx1)}
+                 "mid_v": mid_v, "mid_l": mid_l, "dt": dt,
+                 "ctx": 0.5 * (ctx0 + ctx1)}
         trace.append({"coin": round(coin, 4), "realized": round(realized, 4),
                       "tokens_per_sec": round(gen / dt, 2)})
         log(f"[bench] {mode} calibrate: coin={coin:.4f} -> realized "
@@ -135,7 +137,8 @@ def _calibrate(engine, state, gen_len, mode, target, with_draft,
     bm = ByteModel(engine)
     drafts = (b["mid_d"] / max(b["steps"], 1) + 1) if with_draft else 0.0
     step_bytes = bm.spec_step(b["ctx"], b["mid_v"] / max(b["steps"], 1),
-                              drafts)
+                              drafts,
+                              mid_live=b["mid_l"] / max(b["steps"], 1))
     add_bandwidth(row, step_bytes / (b["gen"] / max(b["steps"], 1)),
                   jax.default_backend() == "tpu")
     log(f"[bench] {mode} CALIBRATED realized={realized:.3f} "
@@ -535,7 +538,8 @@ def build_batched_engine(args, preset: str, serve_gen: int, segment: int = 8):
     return engine, A, prefill
 
 
-def run_batched(engine, A, prefill, args, rows: int = 4):
+def run_batched(engine, A, prefill, args, rows: int = 4,
+                rows_max: int = 8):
     """Batched speculation (beyond-reference axis): aggregate decode
     throughput of B rows speculating together in one program vs one row,
     at a context where B caches fit one chip's HBM. Decode is
@@ -544,8 +548,17 @@ def run_batched(engine, A, prefill, args, rows: int = 4):
     drafting). The headline number is the SLOPE scaling (per-step cost with
     the fixed dispatch round trip cancelled — the production per-step cost;
     VERDICT r4 item 3); the aggregate including dispatch is reported
-    alongside. Returns (record, bat) — the B=rows BatchedSpecEngine is
-    handed to the serve mode so its fused segment programs are reused."""
+    alongside.
+
+    Every B row also carries its BYTE-MODEL slope ceiling (per-step HBM
+    bytes from the engine's own shapes and the run's OWN mid-verify
+    counters / tokens): per-row KV streams bound scaling well below B, and
+    the ceiling states that bound explicitly — at these shapes the B=4
+    ceiling is ~1.8x (the r4 component-sum "2.18x" embedded B=1 overheads),
+    so the sweep extends to B=8 where sharing is deeper. Returns
+    (record, bat) — the B=rows BatchedSpecEngine is handed to the serve
+    mode so its fused segment programs are reused."""
+    import jax
     from triforce_tpu.batched_spec import BatchedSpecEngine
 
     steps = 24
@@ -553,13 +566,26 @@ def run_batched(engine, A, prefill, args, rows: int = 4):
            "mode": "triforce", "methodology": "forced-coin"}
     steps_lo = steps // 3
     bat_out = None
-    for b in (1, rows):
-        bat = BatchedSpecEngine(engine, mode="triforce",
-                                force_accept=args.alpha, donate=True)
-        prompts = [make_ids(engine, 40 + i)[:, :prefill] for i in range(b)]
-        st = bat.prefill_rows(prompts, list(range(b)))
-        st, toks, ns, _c, _e = bat.decode(st, steps)  # compile warm-up
-        _ = int(np.asarray(ns)[0, -1])
+    bm = ByteModel(engine)
+    sweep = [b for b in (1, rows, rows_max) if b]
+    for b in dict.fromkeys(sweep):
+        try:
+            bat = BatchedSpecEngine(engine, mode="triforce",
+                                    force_accept=args.alpha, donate=True)
+            prompts = [make_ids(engine, 40 + i)[:, :prefill]
+                       for i in range(b)]
+            st = bat.prefill_rows(prompts, list(range(b)))
+            st, toks, ns, _c, _e = bat.decode(st, steps)  # compile warm-up
+            _ = int(np.asarray(ns)[0, -1])
+        except Exception as e:
+            if b > rows and ("RESOURCE_EXHAUSTED" in str(e)
+                             or "Largest program" in str(e)):
+                # the deeper-sharing row is best-effort: B caches must fit
+                log(f"[bench] batched B={b}: does not fit HBM; skipping")
+                res[f"b{b}"] = {"skipped": "RESOURCE_EXHAUSTED"}
+                settle(20)
+                continue
+            raise
         # the short run also warms the steps_lo program, and its wall
         # gives the slope: (t_hi - t_lo)/(steps - steps_lo) is per-step
         # cost with the fused dispatch's fixed ~60-70 ms tunnel round trip
@@ -572,32 +598,61 @@ def run_batched(engine, A, prefill, args, rows: int = 4):
         st, toks, ns, _c, _e = bat.decode(st, steps_lo)
         _ = int(np.asarray(ns)[0, -1])
         t_lo = time.perf_counter() - t0
+        ctx0 = float(np.mean(jax.device_get(st.kv.seq_len)))
         t0 = time.perf_counter()
-        st, toks, ns, _c, _e = bat.decode(st, steps)
+        st, toks, ns, c, _e = bat.decode(st, steps)
         total = int(np.asarray(ns).sum())
         dt = time.perf_counter() - t0
+        ctx1 = float(np.mean(jax.device_get(st.kv.seq_len)))
+        c = np.asarray(c, np.float64)
         slope_ms = 1e3 * (dt - t_lo) / (steps - steps_lo)
+        # byte-model slope ceiling for THIS B: weights stream once per
+        # step; every row pays its own ctx + live-rkv streams. drafts per
+        # step = mid_draft/chain forwards + 1 replay (shared weight-bound
+        # reads, counted once — the drafter rows batch on shared weights)
+        mid_w = float(c[:, 2].max()) / steps          # lockstep trips
+        mid_kv_rows = float(c[:, 3].sum()) / steps    # live rkv streams
+        drafts = (mid_w * ((A.chain if A.chain > 0 else A.gamma)) + 1)
+        step_bytes = (bm.w_bytes * (1 + mid_w)
+                      + bm.kv_tok * 0.5 * (ctx0 + ctx1) * b
+                      + bm.kv_tok * bm.budget * mid_kv_rows
+                      + drafts * (bm.d_bytes + bm.d_win))
+        ideal_ms = 1e3 * step_bytes / (819e9)
         res[f"b{b}"] = {"tokens_per_sec": total / dt,
                         "step_ms": 1e3 * dt / steps,
                         "step_ms_slope": round(slope_ms, 4),
+                        "ideal_step_ms_byte_model": round(ideal_ms, 3),
                         "tokens": total}
         log(f"[bench] batched B={b}: {total / dt:.1f} tok/s aggregate "
             f"({1e3 * dt / steps:.1f} ms/step incl dispatch, "
-            f"{slope_ms:.1f} ms/step slope, {total} tokens)")
+            f"{slope_ms:.1f} ms/step slope vs {ideal_ms:.1f} byte-model "
+            f"floor, {total} tokens)")
         del st
         if b == rows:
             bat_out = bat        # serve reuses its compiled programs
         else:
             del bat
         settle()
-    res["scaling"] = res[f"b{rows}"]["tokens_per_sec"] / \
-        max(res["b1"]["tokens_per_sec"], 1e-9)
-    res["scaling_slope"] = round(
-        rows * res["b1"]["step_ms_slope"]
-        / max(res[f"b{rows}"]["step_ms_slope"], 1e-9), 4)
-    log(f"[bench] batched scaling B={rows}/B=1: {res['scaling']:.2f}x "
-        f"aggregate, {res['scaling_slope']:.2f}x by slope (slope is the "
-        f"headline)")
+    for b in dict.fromkeys(sweep):
+        if b == 1 or "skipped" in res.get(f"b{b}", {"skipped": 1}):
+            continue
+        res[f"scaling_b{b}"] = round(
+            res[f"b{b}"]["tokens_per_sec"]
+            / max(res["b1"]["tokens_per_sec"], 1e-9), 4)
+        res[f"scaling_slope_b{b}"] = round(
+            b * res["b1"]["step_ms_slope"]
+            / max(res[f"b{b}"]["step_ms_slope"], 1e-9), 4)
+        res[f"scaling_slope_ceiling_b{b}"] = round(
+            b * res["b1"]["ideal_step_ms_byte_model"]
+            / max(res[f"b{b}"]["ideal_step_ms_byte_model"], 1e-9), 4)
+        log(f"[bench] batched scaling B={b}/B=1: "
+            f"{res[f'scaling_b{b}']:.2f}x aggregate, "
+            f"{res[f'scaling_slope_b{b}']:.2f}x by slope "
+            f"(byte-model ceiling {res[f'scaling_slope_ceiling_b{b}']:.2f}x"
+            f" at these shapes)")
+    # back-compat headline fields (B=rows)
+    res["scaling"] = res.get(f"scaling_b{rows}", 0.0)
+    res["scaling_slope"] = res.get(f"scaling_slope_b{rows}", 0.0)
     return res, bat_out
 
 

@@ -39,12 +39,13 @@ def _decode_fused(vstep, steps: int, gamma: int, params_args, state):
     (lax.fori_loop): per-step host dispatch costs ~60 ms through a remote
     tunnel, so a host-looped decode would measure the harness. Returns
     (state, tokens [B, steps, gamma+2], n_emitted [B, steps],
-    counters [B, 2] = per-row (accepted, proposed) for acceptance-rate
-    reporting, eos [B, steps] = per-step EOS flags for the scheduler)."""
+    counters [B, 4] = per-row (accepted, proposed, mid_verify, mid_live)
+    for acceptance-rate + byte accounting, eos [B, steps] = per-step EOS
+    flags for the scheduler)."""
     b = state.next_token.shape[0]
     toks0 = jnp.zeros((b, steps, gamma + 2), jnp.int32)
     ns0 = jnp.zeros((b, steps), jnp.int32)
-    counters0 = jnp.zeros((b, 2), jnp.int32)
+    counters0 = jnp.zeros((b, 4), jnp.int32)
     eos0 = jnp.zeros((b, steps), bool)
 
     def body(i, c):
@@ -53,7 +54,8 @@ def _decode_fused(vstep, steps: int, gamma: int, params_args, state):
         toks = jax.lax.dynamic_update_slice(
             toks, stats.tokens[:, None, :], (0, i, 0))
         ns = ns.at[:, i].set(stats.n_emitted)
-        counters = counters + jnp.stack([stats.accepted, stats.gamma2],
+        counters = counters + jnp.stack([stats.accepted, stats.gamma2,
+                                         stats.mid_verify, stats.mid_live],
                                         axis=-1)
         eos = eos.at[:, i].set(stats.eos)
         return state, toks, ns, counters, eos
@@ -64,8 +66,35 @@ def _decode_fused(vstep, steps: int, gamma: int, params_args, state):
 
 def stack_states(states):
     """Stack B single-sequence TriForceStates into one batched pytree
-    (leading axis = row)."""
+    (leading axis = row). NOTE: materialises the inputs AND the stacked
+    copy (2x pool HBM transiently) — bench/serving pools at B >= 8 use
+    :func:`blank_stacked_state` + per-row writes instead."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
+
+
+def blank_stacked_state(engine: Engine, b: int, seeds) -> TriForceState:
+    """A row-stacked BLANK pool built directly at stacked shapes (zeros +
+    per-row keys): peak HBM is the pool alone, vs ``stack_states`` over B
+    ``init_state`` rows which transiently holds 2x the pool (B=8 at bench
+    scale is ~22 GB — over the chip). Blank rows have seq_len 0, i.e. they
+    are GATED until a row write fills them."""
+    proto = jax.eval_shape(engine.init_state,
+                           jax.ShapeDtypeStruct((2,), jnp.uint32))
+    state = jax.tree.map(
+        lambda sd: jnp.zeros((b,) + sd.shape, sd.dtype), proto)
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+    return state.replace(key=keys.astype(state.key.dtype))
+
+
+def _row_writer(donate: bool = True):
+    """Jitted per-row DUS into the donated stacked pool (O(row) bytes)."""
+    def _write_row(full, row, slot):
+        def wr(f, r):
+            idx = (slot.astype(jnp.int32),) + (jnp.int32(0),) * r.ndim
+            return jax.lax.dynamic_update_slice(
+                f, r[None].astype(f.dtype), idx)
+        return jax.tree.map(wr, full, row)
+    return jax.jit(_write_row, donate_argnums=(0,) if donate else ())
 
 
 def unstack_state(batched, b: int):
@@ -204,19 +233,22 @@ class BatchedSpecEngine:
 
     def prefill_rows(self, prompts, seeds) -> TriForceState:
         """Prefill each row through the single-sequence engine programs and
-        stack (prefill is compute-bound — batching it buys little; decode is
-        where rows share weights reads)."""
+        write it into a blank stacked pool (prefill is compute-bound —
+        batching it buys little; decode is where rows share weights reads).
+        Incremental writes keep peak HBM at pool + ONE row (stacking B
+        materialised rows holds 2x the pool transiently — OOM at B=8)."""
         eng = self.engine
         assert len(prompts) % self._dp == 0, \
             (len(prompts), self._dp, "rows must divide the dp axis")
-        states = []
-        for ids, seed in zip(prompts, seeds):
+        state = blank_stacked_state(eng, len(prompts), seeds)
+        write = _row_writer(donate=True)
+        for i, (ids, seed) in enumerate(zip(prompts, seeds)):
             st = eng.init_state(jax.random.PRNGKey(seed))
             st = eng.prefill_target(st, ids)
             if self.mode == "triforce":
                 st = eng.prefill_draft(st, ids)
-            states.append(st)
-        state = stack_states(states)
+            state = write(state, st, jnp.asarray(i, jnp.int32))
+            del st
         if self._composed:
             from .parallel import sharding as shard_mod
             state = jax.device_put(state, shard_mod.batched_state_shardings(
@@ -308,11 +340,11 @@ class SpecScheduler(batching.SchedulerBase):
             self.bat = BatchedSpecEngine(engine, mode=mode, donate=True,
                                          force_accept=force_accept,
                                          mesh=mesh)
-        # stacked pool state: B blank rows (blank = fresh init_state with
-        # seq_len 0 -> GATED: zero cache bytes streamed until admission)
-        self.state = stack_states(
-            [engine.init_state(jax.random.PRNGKey(seed * 1000 + i))
-             for i in range(slots)])
+        # stacked pool state: B blank rows (seq_len 0 -> GATED: zero cache
+        # bytes streamed until admission), built directly at stacked
+        # shapes (blank_stacked_state: no 2x-pool transient)
+        self.state = blank_stacked_state(
+            engine, slots, [seed * 1000 + i for i in range(slots)])
         if self.bat.mesh is not None and not self.bat._composed:
             # data-parallel serving: slot rows shard over the dp axis (the
             # admission row-write DUSes into the sharded pool under GSPMD)

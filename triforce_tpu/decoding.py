@@ -92,7 +92,7 @@ def _run_spec_loop(engine: Engine, state: TriForceState, mode: str,
     out = toks[:n].tolist()
     assert out[0] == first
     (steps, accepted, proposed, resampled, bonus, mid_draft, mid_accept,
-     _mid_verify) = (int(x) for x in counters)
+     _mid_verify, _mid_live) = (int(x) for x in counters)
     if verbose:
         for t in out:
             spec_stream(t, tokenizer, "green")

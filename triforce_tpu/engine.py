@@ -73,7 +73,10 @@ class StepStats:
     mid_draft: jax.Array      # drafter proposals in the middle loop
     mid_accept: jax.Array     # drafter proposals the middle accepted
     mid_verify: jax.Array     # middle (retrieval-cache) verify forwards run
-    # (incl. dead fixed-trip rounds — counts COMPUTE, for byte accounting)
+    # (incl. dead fixed-trip rounds — those stream WEIGHTS only: their
+    # retrieval-cache read is gated to zero columns, see _middle_spec)
+    mid_live: jax.Array       # middle verifies that streamed the rkv
+    # (live trips: n0 < gamma at trip start — for exact byte accounting)
 
 
 class Engine:
@@ -240,7 +243,7 @@ class Engine:
             state = args[-1]
             buf = jnp.full((max_len + slack,), JUNK_TOKEN, jnp.int32)
             buf = buf.at[0].set(state.next_token[0])
-            counters0 = jnp.zeros((8,), jnp.int32)
+            counters0 = jnp.zeros((9,), jnp.int32)
 
             def cond(c):
                 state, buf, n, counters, stop = c
@@ -254,7 +257,7 @@ class Engine:
                 counters = counters + jnp.stack([
                     jnp.int32(1), stats.accepted, stats.gamma2,
                     stats.resampled, stats.bonus, stats.mid_draft,
-                    stats.mid_accept, stats.mid_verify])
+                    stats.mid_accept, stats.mid_verify, stats.mid_live])
                 stop = stats.eos if stop_on_eos else jnp.bool_(False)
                 return state, buf, n, counters, stop
 
@@ -561,6 +564,12 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
 
     def body(c):
         n0 = c["n"]
+        live = n0 < gamma   # False only on DEAD fixed-trip rounds (fori
+        # path after a row finished): their verify logits are never
+        # consumed (used=0, no bonus), so the retrieval-cache read is
+        # gated to ZERO columns (forward_spec collapses k_len when its
+        # kv_seq_len is 0) — a dead round costs the shared weight stream
+        # only, not a per-row budget stream. Bit-identical outputs.
         key, kd, ka, kw = jax.random.split(c["key"], 4)
         kds = jax.random.split(kd, k)       # per-proposal drafter samples
         kas = jax.random.split(kw, 2)       # reject sample + bonus sample
@@ -594,8 +603,8 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
 
         # --- ONE middle verify over the whole chain (read-only rkv) -------
         m_logits, _ = llama.forward_spec(t_cfg, t_params, vt, state.rkv,
-                                         kv_seq_len, sp.budget,
-                                         commit=False, mesh=mesh)
+                                         jnp.where(live, kv_seq_len, 0),
+                                         sp.budget, commit=False, mesh=mesh)
         rows_idx = jnp.clip(n0 + jnp.arange(k + 1), 0, gamma)
         rows = jnp.take(m_logits[0], rows_idx, axis=0)       # [k+1, V]
         p_rows = sampling.norm_logits(rows, sp.temperature, -1, sp.top_p)
@@ -662,12 +671,13 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
 
         return {"n": n, "gen_tokens": gen_tokens, "gen_probs": gen_probs,
                 "key": key, "mid_draft": tested, "mid_accept": acc,
-                "trips": c["trips"] + 1}
+                "trips": c["trips"] + 1,
+                "live_trips": c["live_trips"] + live.astype(jnp.int32)}
 
     init = {"n": jnp.int32(0), "gen_tokens": gen_tokens0,
             "gen_probs": gen_probs0, "key": state.key,
             "mid_draft": jnp.int32(0), "mid_accept": jnp.int32(0),
-            "trips": jnp.int32(0)}
+            "trips": jnp.int32(0), "live_trips": jnp.int32(0)}
     if sp.middle_trips > 0:
         # fixed trip count: rows of a vmapped batch run in LOCKSTEP (the
         # batched while_loop pays the max trip count over rows every step);
@@ -807,7 +817,7 @@ def _outer_verify_and_commit(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
                       accepted=count, resampled=resampled.astype(jnp.int32),
                       bonus=bonus.astype(jnp.int32), eos=eos_hit,
                       mid_draft=jnp.int32(0), mid_accept=jnp.int32(0),
-                      mid_verify=jnp.int32(0))
+                      mid_verify=jnp.int32(0), mid_live=jnp.int32(0))
     if defer_commit:
         nk, nv = new_stacks
         return new_state, stats, (nk, nv, old_seq_len)
@@ -834,7 +844,8 @@ def _triforce_step(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         defer_commit=defer_commit)
     new_state, stats = out[0], out[1].replace(mid_draft=mid["mid_draft"],
                                               mid_accept=mid["mid_accept"],
-                                              mid_verify=mid["trips"])
+                                              mid_verify=mid["trips"],
+                                              mid_live=mid["live_trips"])
     if defer_commit:
         return new_state, stats, out[2]
     return new_state, stats
@@ -887,8 +898,9 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         jnp.int32(gamma), gen_tokens, gen_probs, key, False, None, None,
         force_accept=force_accept, return_probs=return_probs,
         defer_commit=defer_commit)
-    # the self-speculation draft loop IS gamma middle verifies
-    new_state, stats = out[0], out[1].replace(mid_verify=jnp.int32(gamma))
+    # the self-speculation draft loop IS gamma middle verifies (all live)
+    new_state, stats = out[0], out[1].replace(mid_verify=jnp.int32(gamma),
+                                              mid_live=jnp.int32(gamma))
     if return_probs or defer_commit:
         return new_state, stats, out[2]
     return new_state, stats
