@@ -141,6 +141,10 @@ def main() -> None:
                         "itself (the coin rate overstates nothing: a "
                         "rejection truncates the chain, so realized < coin)")
     p.add_argument("--no-calibrate", dest="calibrate", action="store_false")
+    p.add_argument("--mid-aq", action="store_true",
+                   help="int8 x int8 MXU for the middle verify's matmuls "
+                        "(proposal-level activation quant; the target "
+                        "verify stays exact — losslessness untouched)")
     p.add_argument("--weight-ar", action="store_true",
                    help="also measure the AR floor with int8 weight-only "
                         "quantization (extra engine + compile)")

@@ -89,7 +89,8 @@ def add_bandwidth(row: dict, bytes_per_token: float, on_tpu: bool) -> dict:
 
 
 def build_engine(preset: str, args, with_draft: bool,
-                 weight_quant: bool = False, cache_headroom: int = None):
+                 weight_quant: bool = False, cache_headroom: int = None,
+                 cache_pad: int = None):
     import jax
     import jax.numpy as jnp
     from triforce_tpu import config as C
@@ -116,7 +117,8 @@ def build_engine(preset: str, args, with_draft: bool,
                           draft_start_size=16,
                           draft_recent_size=250 - args.gamma,
                           temperature=0.6, top_p=0.9,
-                          middle_chain=args.chain, middle_trips=trips)
+                          middle_chain=args.chain, middle_trips=trips,
+                          mid_act_quant=getattr(args, "mid_aq", False))
         # reference headline prefill (README.md:51). The 7b proxy's 128K
         # int8 cache is ~8.6 GB incl. scale planes; the 13b proxy's is
         # ~11.4 GB — both fit the 16 GB chip with the donated
@@ -146,7 +148,8 @@ def build_engine(preset: str, args, with_draft: bool,
                         or 32 * (gen_len + spec.gamma + 2)),
                     dtype=dtype, prefill_chunk=args.prefill_chunk,
                     kv_quant=args.kv_dtype == "int8",
-                    weight_quant=weight_quant, donate=True)
+                    weight_quant=weight_quant, donate=True,
+                    cache_pad=cache_pad)
     return engine, prefill, gen_len
 
 

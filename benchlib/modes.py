@@ -524,17 +524,19 @@ def batched_args(args, preset: str):
 def build_batched_engine(args, preset: str, serve_gen: int, segment: int = 8):
     """ONE engine for both the batched and serve modes (they share context
     and drafter; building two wastes an engine init + a ~1 min prefill
-    compile). Cache headroom = max of the fixed-batch need and the
-    scheduler's own junk-growth bound."""
+    compile). Cache headroom = max of the sweep's decode need and the
+    scheduler's own (gated) growth bound; cache_pad 512 keeps the per-row
+    cache ~17% leaner than the default 4096-pad so the B=8 deep-sharing
+    row fits HBM (16896 slots still has a 2112 kernel block)."""
     from triforce_tpu.batched_spec import SpecScheduler
     A = batched_args(args, preset)
-    gen_dflt = 128 if preset == "7b-proxy" else 64
-    headroom = max(32 * (gen_dflt + A.gamma + 2),
+    headroom = max(1024,
                    SpecScheduler.required_headroom(serve_gen, segment,
                                                    A.gamma))
     engine, prefill, _ = build_engine(preset, A, with_draft=True,
                                       weight_quant=args.weights == "int8",
-                                      cache_headroom=headroom)
+                                      cache_headroom=headroom,
+                                      cache_pad=512)
     return engine, A, prefill
 
 

@@ -33,7 +33,7 @@ MAX_AGE_H = 48.0
 _FP_KEYS = ("preset", "prefill", "gen_len", "prefill_chunk", "kv_dtype",
             "alpha", "weights", "gamma", "trips", "chain", "calibrate",
             "tree_size", "tree_depth", "tree_budget", "ssl",
-            "serve_slots", "serve_requests", "serve_gen")
+            "serve_slots", "serve_requests", "serve_gen", "mid_aq")
 
 
 def _code_rev() -> str:

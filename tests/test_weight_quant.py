@@ -193,3 +193,54 @@ def test_tree_grow_act_quant_proposals_track_exact():
     err = float(jnp.max(jnp.abs(aq - exact)))
     ref = float(jnp.max(jnp.abs(exact))) + 1e-9
     assert err < 0.05 * ref, (err, ref)
+
+
+def test_mid_act_quant_flat_and_batched():
+    """mid_act_quant (int8 x int8 middle verify): the engine decodes, the
+    middle p_rows stay a valid proposal distribution (outer test exact),
+    and batched rows still equal their single-sequence runs bit-for-bit."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from triforce_tpu import config as C
+    from triforce_tpu.config import SpecConfig
+    from triforce_tpu.engine import Engine
+    from triforce_tpu.models import llama
+    from triforce_tpu.batched_spec import BatchedSpecEngine, stack_states
+
+    spec = SpecConfig(gamma=3, budget=16, chunk_size=4, draft_start_size=4,
+                      draft_recent_size=12, temperature=0.7, top_p=0.9,
+                      middle_chain=2, middle_trips=2, mid_act_quant=True)
+    tcfg, dcfg = C.TINY_TARGET, C.TINY_DRAFT
+    t = llama.quantize_weights(
+        llama.init_params(jax.random.PRNGKey(0), tcfg, jnp.float32))
+    d = llama.quantize_weights(
+        llama.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32))
+    eng = Engine(tcfg, spec, t, draft_cfg=dcfg, draft_params=d, prefill=32,
+                 max_cache_len=32 + 32, dtype=jnp.float32, prefill_chunk=16,
+                 draft_prefill_chunk=8, donate=False)
+    ids = jax.random.randint(jax.random.PRNGKey(7), (1, 32), 0,
+                             tcfg.vocab_size)
+    sts, streams = [], []
+    for seed in (11, 22):
+        st = eng.init_state(jax.random.PRNGKey(seed))
+        st = eng.prefill_target(st, ids)
+        st = eng.prefill_draft(st, ids)
+        sts.append(st)
+        toks = []
+        for _ in range(3):
+            st, stats = eng.triforce_step(st)
+            n = int(stats.n_emitted)
+            assert 1 <= n <= spec.gamma + 2
+            toks.extend(np.asarray(stats.tokens)[:n].tolist())
+        streams.append(toks)
+    bat = BatchedSpecEngine(eng, mode="triforce", donate=False)
+    bst = stack_states(sts)
+    got = [[], []]
+    for _ in range(3):
+        bst, stats = bat.step(bst)
+        for r in range(2):
+            got[r].extend(np.asarray(
+                stats.tokens[r])[: int(stats.n_emitted[r])].tolist())
+    assert got[0] == streams[0] and got[1] == streams[1]

@@ -86,6 +86,14 @@ class SpecConfig:
     # cost. ceil(gamma / (middle_chain+1)) + 1 covers one mid-chain
     # rejection; BatchedSpecEngine defaults to that when this is 0.
     middle_trips: int = 0
+    # int8 x int8 MXU for the MIDDLE verify's matmuls (dynamic per-token
+    # activation quant, llama._wmm aq path — no per-matmul int8->bf16
+    # weight convert). The middle level is a PROPOSAL distribution: its
+    # p_rows are consumed consistently (sampled from AND handed to the
+    # outer exact rejection test as q), so losslessness is untouched —
+    # same argument as the tree GROW's act-quant (NOTES_ROUND4 item 2).
+    # The full-cache target verify always stays exact.
+    mid_act_quant: bool = False
     draft_start_size: int = 16    # StreamingLLM sink
     draft_recent_size: int = 250  # StreamingLLM window
     temperature: float = 0.6

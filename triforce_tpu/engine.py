@@ -92,14 +92,19 @@ class Engine:
                  prefill_chunk: int = 512, draft_prefill_chunk: int = 64,
                  batch: int = 1, donate: bool = True,
                  kv_quant: bool = False, weight_quant: bool = False,
-                 mesh=None, shard_seq: bool = False):
+                 mesh=None, shard_seq: bool = False, cache_pad: int = None):
         assert prefill % spec.chunk_size == 0
         # align caches to the Pallas DMA blocks (flash_decode._pick_block):
         # the quantized path needs lane-divisible (x128) blocks that divide
         # the cache length -> pad to 4096; bf16 does best at block 4000 on
-        # 512-aligned lengths (measured: 4000 ~ 396 GB/s on v5e)
+        # 512-aligned lengths (measured: 4000 ~ 396 GB/s on v5e).
+        # ``cache_pad`` overrides (memory-tight many-row pools: a 512-pad
+        # length like 16896 = 2^9*3*11 still has a 2112-row 128-multiple
+        # divisor, so the quantized kernel keeps a fat DMA block while the
+        # cache stays ~17% smaller per row than the 4096-pad)
         on_tpu = jax.default_backend() == "tpu"
-        self.cache_pad = (4096 if kv_quant else 512) if on_tpu else 1
+        self.cache_pad = cache_pad or (
+            (4096 if kv_quant else 512) if on_tpu else 1)
         self.rkv_pad = 512 if on_tpu else 1
         # sequence-sharded caches must divide over sp AND keep each LOCAL
         # shard DMA-block-aligned, so the pad unit is cache_pad * sp
@@ -604,7 +609,8 @@ def _middle_spec(t_cfg: ModelConfig, d_cfg: ModelConfig, sp: SpecConfig,
         # --- ONE middle verify over the whole chain (read-only rkv) -------
         m_logits, _ = llama.forward_spec(t_cfg, t_params, vt, state.rkv,
                                          jnp.where(live, kv_seq_len, 0),
-                                         sp.budget, commit=False, mesh=mesh)
+                                         sp.budget, commit=False, mesh=mesh,
+                                         act_quant=sp.mid_act_quant)
         rows_idx = jnp.clip(n0 + jnp.arange(k + 1), 0, gamma)
         rows = jnp.take(m_logits[0], rows_idx, axis=0)       # [k+1, V]
         p_rows = sampling.norm_logits(rows, sp.temperature, -1, sp.top_p)
@@ -874,7 +880,8 @@ def _retrieval_spec_step(t_cfg: ModelConfig, sp: SpecConfig, prefill: int,
         key, ks = jax.random.split(key)
         m_logits, _ = llama.forward_spec(t_cfg, t_params, verify_tokens,
                                          state.rkv, kv_seq_len, sp.budget,
-                                         commit=False, mesh=mesh)
+                                         commit=False, mesh=mesh,
+                                         act_quant=sp.mid_act_quant)
         row = jax.lax.dynamic_slice(m_logits[0], (n, jnp.int32(0)),
                                     (1, vocab))
         p_n = sampling.norm_logits(row, sp.temperature, -1, sp.top_p)[0]

@@ -415,6 +415,7 @@ def forward_append(cfg: ModelConfig, params, input_ids: jnp.ndarray,
 def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
                  rkv: RetrievalCache, kv_seq_len: jnp.ndarray,
                  budget: int, commit: bool = True, mesh=None,
+                 act_quant: bool = False,
                  ) -> Tuple[jnp.ndarray, RetrievalCache]:
     """Middle-model verify: the gamma+1 tokens attend the budget region plus
     themselves (causally), and their KV lands in the scratch slots.
@@ -441,7 +442,7 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
     def body(x, xs):
         lp, li = xs
         h = _rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
-        q, k_new, v_new = _qkv(h, lp, cfg)
+        q, k_new, v_new = _qkv(h, lp, cfg, aq=act_quant)
         q = rope.apply_rope(q, cos, sin, positions)
         k_new = rope.apply_rope(k_new, cos, sin, positions)
         if mesh is not None:
@@ -455,9 +456,9 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
             ctx = append_attention_auto(q, rkv.k, rkv.v, k_new, v_new,
                                         k_len=k_len, k_scale=rkv.k_scale,
                                         v_scale=rkv.v_scale, layer=li)
-        x = x + _attn_out(ctx, lp)
+        x = x + _attn_out(ctx, lp, aq=act_quant)
         h = _rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
-        x = x + _mlp(h, lp)
+        x = x + _mlp(h, lp, aq=act_quant)
         return x, (k_new, v_new)
 
     xs_in = (params["layers"], jnp.arange(cfg.num_layers))
@@ -467,8 +468,9 @@ def forward_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,
         # own inputs and the new-block attention covers them — persisting
         # the scratch is a dead write, and dropping it lets callers keep
         # rkv OUT of their loop carries (XLA double-buffers carried caches)
-        return _logits(cfg, params, x), rkv
-    return _logits(cfg, params, x), _commit_cache(rkv, nk, nv, scratch0)
+        return _logits(cfg, params, x, aq=act_quant), rkv
+    return _logits(cfg, params, x, aq=act_quant), \
+        _commit_cache(rkv, nk, nv, scratch0)
 
 
 def forward_tree_spec(cfg: ModelConfig, params, input_ids: jnp.ndarray,

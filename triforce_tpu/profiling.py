@@ -153,7 +153,8 @@ def measure_phase_times(engine, state, iters: int = 20) -> Dict[str, float]:
 
     def mid_body(ids, params, rkv, n):
         logits = llama.forward_spec(cfg, params, ids, rkv, n, sp.budget,
-                                    commit=False)[0]
+                                    commit=False,
+                                    act_quant=sp.mid_act_quant)[0]
         return chain_ids(ids, logits)
 
     m_ids = jnp.zeros((1, gamma + 1), jnp.int32)
