@@ -530,9 +530,11 @@ def build_batched_engine(args, preset: str, serve_gen: int, segment: int = 8):
     row fits HBM (16896 slots still has a 2112 kernel block)."""
     from triforce_tpu.batched_spec import SpecScheduler
     A = batched_args(args, preset)
+    # size for the steady-state serve row (16 x 256) too — one engine
+    # serves the whole batched/serve suite
     headroom = max(1024,
-                   SpecScheduler.required_headroom(serve_gen, segment,
-                                                   A.gamma))
+                   SpecScheduler.required_headroom(max(serve_gen, 256),
+                                                   segment, A.gamma))
     engine, prefill, _ = build_engine(preset, A, with_draft=True,
                                       weight_quant=args.weights == "int8",
                                       cache_headroom=headroom,
@@ -680,14 +682,14 @@ def run_serve(engine, A, prefill, args, slots: int = None,
     gen_len = args.serve_gen or (64 if "13b" not in (args.preset or "")
                                  else 48)
 
-    def submit_all(sched, n, max_new):
+    def submit_all(sched, n, max_new, rid0=300):
         for i in range(n):
             sched.submit(Request(
-                rid=300 + i,
-                prompt=np.asarray(make_ids(engine, 300 + i)).reshape(-1),
+                rid=rid0 + i,
+                prompt=np.asarray(make_ids(engine, rid0 + i)).reshape(-1),
                 max_new_tokens=max_new))
 
-    # ONE scheduler for warm-up AND the timed run: the batched-step jit
+    # ONE scheduler for warm-up AND the timed runs: the batched-step jit
     # closures live on the scheduler's BatchedSpecEngine instance, so a
     # fresh scheduler would recompile the fused segment program inside the
     # timed region (r4 serve-bench finding: 31.7 s "decode" was ~25 s of
@@ -697,41 +699,50 @@ def run_serve(engine, A, prefill, args, slots: int = None,
     submit_all(sched, 1, 4)
     sched.run(max_wall_s=1200)
     settle()
-    submit_all(sched, n_requests, gen_len)
-    t0 = time.perf_counter()
-    done = sched.run(max_wall_s=2400)
-    wall = time.perf_counter() - t0
-    total = sum(len(r.out) for r in done)
-    # each request's out[0] is the PREFILL sample (produced during
-    # admission, costed to admit_s) — exclude it from the decode-segment
-    # numerator so the split stays honest
-    seg_tokens = sum(max(len(r.out) - 1, 0) for r in done)
-    st = sched.stats
-    # at long prompts the wall is ADMISSION-dominated (each admission
-    # prefills a whole prompt: n_requests * prefill tokens processed vs
-    # n_requests * gen_len decoded) — report the split so decode-segment
-    # throughput is comparable to the fixed-batch ceiling and the overall
-    # number counts all processed tokens
-    res = {"slots": slots, "n_requests": n_requests, "prefill": prefill,
-           "gen_len": gen_len, "completed": len(done),
-           "methodology": "forced-coin",
-           "decode_tokens": seg_tokens,
-           "prefill_tokens": st["prefill_tokens"],
-           "wall_s": round(wall, 3),
-           "admit_s": round(st["admit_s"], 3),
-           "decode_s": round(st["decode_s"], 3),
-           "decode_segment_tokens_per_sec":
-               round(seg_tokens / max(st["decode_s"], 1e-9), 2),
-           "aggregate_decode_tokens_per_sec": round(total / wall, 2),
-           "total_processed_tokens_per_sec":
-               round((total + st["prefill_tokens"]) / wall, 2)}
-    log(f"[bench] serve: {len(done)}/{n_requests} requests, {seg_tokens} "
-        f"decode + {st['prefill_tokens']} prefill tokens in {wall:.1f}s "
-        f"({st['admit_s']:.1f}s admission, {st['decode_s']:.1f}s decode) "
-        f"-> decode segments "
-        f"{seg_tokens / max(st['decode_s'], 1e-9):.1f} tok/s, "
-        f"total processed {(total + st['prefill_tokens']) / wall:.0f} "
-        f"tok/s ({slots} slots)")
+
+    def timed_serve(n_req, max_new, rid0):
+        submit_all(sched, n_req, max_new, rid0)
+        t0 = time.perf_counter()
+        done = sched.run(max_wall_s=2400)
+        wall = time.perf_counter() - t0
+        total = sum(len(r.out) for r in done)
+        # each request's out[0] is the PREFILL sample (produced during
+        # admission, costed to admit_s) — exclude it from the
+        # decode-segment numerator so the split stays honest
+        seg_tokens = sum(max(len(r.out) - 1, 0) for r in done)
+        st = sched.stats
+        # admission (chunked prefill slices, interleaved between decode
+        # segments) vs decode wall split: decode-segment throughput is
+        # the number comparable to the fixed-batch ceiling; the overall
+        # number counts all processed tokens
+        rec = {"slots": slots, "n_requests": n_req, "prefill": prefill,
+               "gen_len": max_new, "completed": len(done),
+               "methodology": "forced-coin",
+               "decode_tokens": seg_tokens,
+               "prefill_tokens": st["prefill_tokens"],
+               "wall_s": round(wall, 3),
+               "admit_s": round(st["admit_s"], 3),
+               "decode_s": round(st["decode_s"], 3),
+               "decode_segment_tokens_per_sec":
+                   round(seg_tokens / max(st["decode_s"], 1e-9), 2),
+               "aggregate_decode_tokens_per_sec": round(total / wall, 2),
+               "total_processed_tokens_per_sec":
+                   round((total + st["prefill_tokens"]) / wall, 2)}
+        log(f"[bench] serve {n_req}x{max_new}: {len(done)}/{n_req} "
+            f"requests, {seg_tokens} decode + {st['prefill_tokens']} "
+            f"prefill tokens in {wall:.1f}s ({st['admit_s']:.1f}s "
+            f"admission, {st['decode_s']:.1f}s decode) -> decode segments "
+            f"{seg_tokens / max(st['decode_s'], 1e-9):.1f} tok/s, total "
+            f"processed {(total + st['prefill_tokens']) / wall:.0f} tok/s "
+            f"({slots} slots)")
+        return rec
+
+    res = timed_serve(n_requests, gen_len, rid0=300)
+    # steady-state row (the r4 round4_serve_steady comparison point:
+    # 16 requests x 256 tokens through 4 slots, 22.6 s wall / 662 tok/s
+    # decode segments pre-overlap+gating) — same scheduler, same programs
+    settle()
+    res["steady"] = timed_serve(16, 256, rid0=600)
     del sched
     return res
 
