@@ -135,6 +135,8 @@ def _batched_attention(state: BatchState, q, k_new, v_new, li):
     if pallas_decode_eligible(1, s, g * t):
         from .ops.flash_decode import (flash_decode_append_batched,
                                        _pick_block)
+        # no q_tile here: the ROW-BATCHED kernel does not q-tile (decode
+        # shapes are t=1, gt <= heads — never wide)
         block = _pick_block(s, hkv, d, g * t, t, quant=False)
         qh = q.reshape(b, hkv, g * t, d)
         nmask = jnp.ones((b, g * t, t), bool)

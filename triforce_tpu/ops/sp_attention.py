@@ -61,8 +61,10 @@ def _cache_partials_local(q, k, v, k_len, ks, vs, mask_fn=None,
         hkv, s_loc = k.shape[1], k.shape[2]
     g = hq // hkv
     if mask_fn is None and _pallas_ok(b, s_loc, g * t):
-        from .flash_decode import flash_decode_partials, _pick_block
-        block = _pick_block(s_loc, hkv, d, g * t, 0, quant=ks is not None)
+        from .flash_decode import (flash_decode_partials, _pick_block,
+                                   _pick_qtile)
+        block = _pick_block(s_loc, hkv, d, g * t, 0, quant=ks is not None,
+                            q_tile=_pick_qtile(g * t))
         qh = q[0].reshape(hkv, g * t, d)
         m, l, acc = flash_decode_partials(
             qh, k[:, 0] if stacked else k[0],
