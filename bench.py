@@ -168,6 +168,14 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.signal(signal.SIGINT, _emit_and_exit)
+    # minimal record from the start: even a kill during backend init (the
+    # axon tunnel has had multi-hour outages where jax.devices() HANGS)
+    # leaves a parseable line that says so, instead of empty stdout
+    _LAST["out"] = {"metric": "no_modes_completed", "value": 0.0,
+                    "unit": "", "vs_baseline": 0.0,
+                    "detail": {"note": "killed before any mode finished "
+                                       "(backend init or first mode still "
+                                       "in flight)"}}
     _setup_compilation_cache()
 
     # The axon tunnel intermittently kills large remote compiles
@@ -179,21 +187,26 @@ def main() -> None:
     # after a driver timeout kill.
     out = None
     done = {}
-    for attempt in range(3):
+    attempts = 5
+    for attempt in range(attempts):
         try:
             out = _run(args, done)
             break
         except Exception as e:
             flaky = any(m in str(e) for m in (
                 "UNAVAILABLE", "transport", "response body closed",
-                "remote_compile", "DEADLINE"))
+                "remote_compile", "DEADLINE", "INTERNAL"))
             # a genuine HBM exhaustion also surfaces through the
             # remote-compile path (HTTP 500 + allocation report) — it is
             # deterministic, so retrying only wastes three compiles (r4
             # planner-bench OOM burned ~8 min before raising)
             if "RESOURCE_EXHAUSTED" in str(e) or "Largest program" in str(e):
                 flaky = False
-            if not flaky or attempt == 2:
+            if not flaky or attempt == attempts - 1:
+                if _LAST["out"] is not None and done:
+                    # a terminal error after completed modes still emits
+                    # the composed record of what DID finish
+                    print(json.dumps(_LAST["out"]), flush=True)
                 raise
             log(f"[bench] tunnel flake ({type(e).__name__}); rebuilding "
                 f"and retrying (attempt {attempt + 1})")
